@@ -1,0 +1,189 @@
+"""URL-seen filter: exact anti-join dedup fronted by a partitioned
+bloom prefilter.
+
+Reference semantics (the correctness contract):
+- check-and-insert, first writer wins: Redis SADD returns 0 on the
+  second add (/root/reference/crawler/schedulers/redis/dupefilter.py:39-44).
+- `dont_filter` bypasses dedup (/root/reference/crawler/schedulers/
+  redis/scheduler.py:73).
+- bloom filter: md5-hex, 7 SimpleHash fns over 2^31 bits, sharded into
+  256MB blocks by hash prefix (/root/reference/crawler/utils/
+  bloomfilter.py:12-62).
+
+Spark rebuild (SURVEY.md §2.2 F1-F3, §4 O2/O7):
+- truth = exact `left_anti` join of candidate url_hash vs the seen
+  table (north_rule demands URL-seen SET EQUALITY, so the bloom is only
+  ever a prefilter, never the decider).
+- intra-batch first-wins = row_number over (url_hash) ordered by
+  enqueue_seq (sequential SADD order), not dropDuplicates (which is
+  pick-any).
+- bloom = per-block numpy bitmaps maintained with cogrouped
+  applyInPandas: candidates and bitmap blocks are hash-partitioned on
+  block_id, so the probe is a co-located vectorized pass — the Spark
+  analogue of bloomfilter.py's hash-prefix block sharding. Definite
+  negatives skip the anti-join shuffle; possible positives go through
+  the exact join. At 10^10 URLs with ~1% revisit rate this cuts the
+  big-join input by ~99%.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# scale knobs (documented: at 10^10 URLs run 4096 blocks × 2^33 bits)
+DEFAULT_NUM_BLOCKS = 32
+DEFAULT_BITS_PER_BLOCK = 1 << 24  # 2 MiB/block in tests; 2^33 (1 GiB) at 10^10
+NUM_HASHES = 7  # parity with bloomfilter.py:36 (7 SimpleHash seeds)
+
+
+def first_wins_dedup(cands: DataFrame, seq_col: str = "enqueue_seq") -> DataFrame:
+    """Intra-batch dedup keeping the FIRST enqueued duplicate — the
+    set-oriented equivalent of sequential SADD (dupefilter.py:39-44).
+    Rows with dont_filter=True bypass (scheduler.py:73)."""
+    has_flag = "dont_filter" in cands.columns
+    flagged = cands.filter(F.col("dont_filter")) if has_flag else None
+    subject = cands.filter(~F.col("dont_filter")) if has_flag else cands
+    w = Window.partitionBy("url_hash").orderBy(F.col(seq_col).asc())
+    kept = (
+        subject.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return kept.unionByName(flagged) if has_flag else kept
+
+
+def filter_unseen(cands: DataFrame, seen: DataFrame) -> DataFrame:
+    """Exact dedup: candidates whose url_hash is NOT in the seen table.
+    dont_filter rows bypass. Catalyst/AQE picks SMJ vs broadcast."""
+    has_flag = "dont_filter" in cands.columns
+    flagged = cands.filter(F.col("dont_filter")) if has_flag else None
+    subject = cands.filter(~F.col("dont_filter")) if has_flag else cands
+    unseen = subject.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return unseen.unionByName(flagged) if has_flag else unseen
+
+
+# --------------------------------------------------------------------------
+# Partitioned bloom prefilter
+# --------------------------------------------------------------------------
+
+
+def _mix(h: np.ndarray, k: int) -> np.ndarray:
+    """k-th derived hash from the 64-bit url_hash (splitmix-style remix;
+    replaces the reference's 7 seeded SimpleHash passes over md5 hex,
+    bloomfilter.py:17-21, with branch-free vectorized arithmetic)."""
+    x = (h.astype(np.uint64) + np.uint64(k) * np.uint64(0x9E3779B97F4A7C15))
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+class PartitionedBloom:
+    """Bloom bitmaps sharded by `block_id = pmod(url_hash, num_blocks)`
+    (the Spark analogue of bloomfilter.py:49's hash-prefix block pick),
+    stored as one binary row per block."""
+
+    def __init__(self, num_blocks: int = DEFAULT_NUM_BLOCKS, bits: int = DEFAULT_BITS_PER_BLOCK):
+        assert bits % 8 == 0
+        self.num_blocks = num_blocks
+        self.bits = bits
+
+    def _block_id(self, col):
+        return F.pmod(F.col(col) if isinstance(col, str) else col, F.lit(self.num_blocks)).cast("int")
+
+    def _set_bits(self, bitmap: np.ndarray, hashes: np.ndarray) -> None:
+        for k in range(NUM_HASHES):
+            pos = _mix(hashes, k + 1) % np.uint64(self.bits)
+            np.bitwise_or.at(bitmap, (pos >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+
+    def _test_bits(self, bitmap: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+        hit = np.ones(len(hashes), dtype=bool)
+        for k in range(NUM_HASHES):
+            pos = _mix(hashes, k + 1) % np.uint64(self.bits)
+            byte = bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))) != 0
+        return hit
+
+    def build(self, seen: DataFrame) -> DataFrame:
+        """seen(url_hash) → blocks(block_id int, bitmap binary).
+        Grouped-map pandas UDF: one vectorized numpy pass per block."""
+        bits = self.bits
+
+        def build_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            bitmap = np.zeros(bits // 8, dtype=np.uint8)
+            self._set_bits(bitmap, pdf["url_hash"].to_numpy(dtype=np.int64))
+            return pd.DataFrame(
+                {"block_id": [int(pdf["block_id"].iloc[0])], "bitmap": [bitmap.tobytes()]}
+            )
+
+        return (
+            seen.select("url_hash")
+            .withColumn("block_id", self._block_id("url_hash"))
+            .groupBy("block_id")
+            .applyInPandas(build_block, schema="block_id int, bitmap binary")
+        )
+
+    def merge(self, blocks: DataFrame, new_seen: DataFrame) -> DataFrame:
+        """OR the new url_hashes into existing bitmaps (incremental
+        maintenance — insert path of bloomfilter.py:55-62)."""
+        new_blocks = self.build(new_seen)
+        both = blocks.unionByName(new_blocks)
+
+        def or_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = np.zeros(self.bits // 8, dtype=np.uint8)
+            for b in pdf["bitmap"]:
+                acc |= np.frombuffer(b, dtype=np.uint8)
+            return pd.DataFrame(
+                {"block_id": [int(pdf["block_id"].iloc[0])], "bitmap": [acc.tobytes()]}
+            )
+
+        return both.groupBy("block_id").applyInPandas(
+            or_blocks, schema="block_id int, bitmap binary"
+        )
+
+    def probe(self, cands: DataFrame, blocks: DataFrame) -> DataFrame:
+        """Append `maybe_seen boolean` to candidates via a co-located
+        cogrouped pass: both sides hash-partitioned on block_id, the
+        bitmap travels once per block, membership tested vectorized."""
+        out_schema = cands.schema.add("maybe_seen", "boolean")
+        cols = cands.columns
+        test = self._test_bits
+
+        def probe_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if left.empty:
+                return pd.DataFrame(columns=cols + ["maybe_seen"])
+            if right.empty:
+                maybe = np.zeros(len(left), dtype=bool)
+            else:
+                bitmap = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+                maybe = test(bitmap, left["url_hash"].to_numpy(dtype=np.int64))
+            out = left.drop(columns=["block_id"])
+            out["maybe_seen"] = maybe
+            return out
+
+        lc = cands.withColumn("block_id", self._block_id("url_hash"))
+        return (
+            lc.groupBy("block_id")
+            .cogroup(blocks.groupBy("block_id"))
+            .applyInPandas(probe_group, schema=out_schema)
+        )
+
+    def prefiltered_unseen(self, cands: DataFrame, seen: DataFrame, blocks: DataFrame) -> DataFrame:
+        """bloom prefilter → exact anti-join only for possible positives.
+        Semantically identical to filter_unseen (bloom has no false
+        negatives); the definite-negative fast path skips the shuffle."""
+        has_flag = "dont_filter" in cands.columns
+        flagged = cands.filter(F.col("dont_filter")) if has_flag else None
+        subject = cands.filter(~F.col("dont_filter")) if has_flag else cands
+        probed = self.probe(subject, blocks)
+        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        confirmed_new = suspect.join(seen.select("url_hash"), "url_hash", "left_anti")
+        out = fresh.unionByName(confirmed_new)
+        return out.unionByName(flagged) if has_flag else out

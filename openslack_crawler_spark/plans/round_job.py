@@ -1,0 +1,325 @@
+"""The scheduling round job — the flagship plan (SURVEY.md §3.1).
+
+One crawl round is ONE DataFrame job committed as ONE snapshot:
+
+  frontier dequeue (per-host top-k, salted)            [S4/W1, O4]
+   → robots filter + politeness slot assignment         [W2]
+   → simulated fetch → documents with interleaved spans [P5]
+   → link extraction + predicates                       [P1/P2, F6-F8]
+   → candidate build (depth+1, priority-10)             [W4]
+   → enqueue filters (expiry, blacklist)                [F4/F5]
+   → intra-round first-wins dedup                       [F1]
+   → seen anti-join (exact; bloom prefilter optional)   [J1/F3]
+   → dense enqueue_seq assignment (pop-order)           [§7 step 4]
+   → frontier append + seen append + counters           [S5, A1]
+
+This replaces the reference's record-at-a-time Twisted loop
+(/root/reference/crawler/schedulers/kafka/scheduler.py:124-190 +
+examples/link_spider.py:24-89): scheduling decisions become
+set-oriented, which is the entire scale win (reference pacing is ≥1
+decision/sec/consumer — scheduler.py:132-138).
+
+Fetching is simulated against the deterministic page graph
+(synthetic.py) — the sandbox has no network; the fetch stage is the
+seam where a real downloader (an async HTTP pandas-UDF over
+mapInPandas) would plug in.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import synthetic
+from ..operators import frontier as fr
+from ..operators import politeness as po
+from ..operators.linkextract import (
+    apply_link_predicates,
+    extract_link_spans,
+    first_per_page,
+    links_to_candidates,
+)
+from ..operators.seen_filter import PartitionedBloom, filter_unseen, first_wins_dedup
+from ..operators.sequence import with_dense_seq
+from ..sources.table_format import SnapshotParquetFormat
+from ..functions.url import with_url_columns
+
+def fetch_order():
+    """Deterministic total order of fetches within a round."""
+    return [
+        F.col("fetch_at").asc(),
+        F.col("score").desc(),
+        F.col("enqueue_seq").asc(),
+    ]
+
+
+@dataclass
+class CrawlConfig:
+    n_hosts: int = 100
+    k_per_host: int = 8          # per-host batch budget per round
+    maxdepth: int = 2            # scraper_schema.json:22-26 caps at 3
+    salt_buckets: int = 16
+    use_bloom: bool = False
+    deny_extensions: list | None = None
+    allowed_domains: list | None = None
+    allow_regex: str | None = None
+    deny_regex: str | None = None
+
+
+def spans_expr(url_col, n_hosts: int):
+    """Interleaved text+media spans of a fetched page — Spark twin of
+    synthetic.py_spans (the span-sequence-equality invariant)."""
+    p = synthetic.page_id_of(url_col)
+    h = synthetic.host_id_of(url_col)
+    links = synthetic.outlink_exprs(p, h, n_hosts)
+    text_span = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.concat(F.lit("page "), p.cast("string"), F.lit(" text")).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    link_spans = F.transform(
+        links,
+        lambda l: F.struct(
+            F.lit("link").alias("kind"),
+            l["url"].alias("text"),
+            F.lit("").alias("media_ref"),
+            l["offset"].alias("offset"),
+        ),
+    )
+    img_span = F.when(
+        p % 3 == 0,
+        F.array(
+            F.struct(
+                F.lit("image").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(F.lit("img-"), p.cast("string")).alias("media_ref"),
+                (F.size(links) + 1).cast("int").alias("offset"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
+    return F.concat(text_span, link_spans, img_span)
+
+
+def _partition_counts(df: DataFrame, metric: str, round_id: int) -> DataFrame:
+    """Per-partition lineage counters (north_rule) — stats.py:46-55
+    rebuilt as a tiny aggregate instead of hincrby round-trips."""
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.lit(round_id).alias("round_id"),
+            F.col("partition_id"),
+            F.lit(metric).alias("metric"),
+            F.col("value").cast("long"),
+        )
+    )
+
+
+def bootstrap(
+    fmt: SnapshotParquetFormat,
+    seeds: DataFrame,
+    robots: DataFrame,
+    cfg: CrawlConfig,
+) -> int:
+    """Round 0: seeds → canonicalize/hash → first-wins dedup → frontier;
+    seed hashes become the initial seen set (the reference fingerprints
+    every enqueued request, dupefilter.py:39-44)."""
+    c = with_url_columns(seeds, "url", canonicalize=True)
+    c = (
+        c.withColumn("depth", F.lit(0))
+        .withColumn("maxdepth", F.lit(cfg.maxdepth))
+        .withColumn("spiderid", F.lit("link"))
+        .withColumn("retry_times", F.lit(0))
+        .withColumn("expires", F.lit(None).cast("timestamp"))
+        .withColumn("dont_filter", F.lit(False))
+        .withColumn("score", fr.score_expr())
+        .withColumn("attrs", F.create_map().cast("map<string,string>"))
+    )
+    c = first_wins_dedup(c, "enqueue_seq")
+    c = fr.with_salt(c, cfg.salt_buckets)
+    frontier0 = c.select(
+        "url", "url_hash", "host", "host_hash", "depth", "maxdepth", "priority",
+        "score", "appid", "crawlid", "spiderid", "retry_times", "expires",
+        "dont_filter", "enqueue_seq", "salt", "attrs",
+    )
+    seen0 = frontier0.select(
+        "url_hash", "crawlid", F.col("enqueue_seq").alias("added_seq")
+    )
+    next_seq = (frontier0.agg(F.max("enqueue_seq")).collect()[0][0] or 0) + 1
+    updates = {"frontier": frontier0, "seen": seen0, "robots": robots}
+    if cfg.use_bloom:
+        bloom = PartitionedBloom()
+        updates["bloom"] = bloom.build(seen0)
+    return fmt.commit(updates, meta={"round": 0, "next_seq": int(next_seq)})
+
+
+def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
+    """Execute one scheduling round against the current snapshot and
+    commit the next snapshot. Returns round stats."""
+    spark = fmt.spark
+    meta = fmt.meta()
+    round_id = meta["round"] + 1
+    next_seq = meta["next_seq"]
+
+    frontier = fmt.read("frontier")
+    seen = fmt.read("seen")
+    robots = fmt.read("robots")
+    blacklist = fmt.read("blacklist")
+
+    # 1. dequeue per-host top-k (salted two-phase rank). The popped rows
+    # leave the frontier permanently — including ones the robots filter
+    # then discards (a robots-dropped request is consumed, not requeued:
+    # scrapy RobotsTxtMiddleware semantics, settings.py:138)
+    popped = fr.dequeue_top_k_per_host(frontier, cfg.k_per_host, salted=True)
+    popped = popped.localCheckpoint()
+    # 2. robots + politeness virtual-clock slots
+    batch = po.robots_filter(popped, robots)
+    batch = po.assign_fetch_slots(batch, robots, round_start=F.lit(0.0))
+    batch = batch.localCheckpoint()  # cut lineage; batch reused 4×
+
+    n_fetched = batch.count()
+    if n_fetched == 0:
+        # still consume any popped-but-disallowed rows
+        fmt.commit(
+            {"frontier": fr.remove_dequeued(frontier, popped)},
+            meta={"round": round_id, "next_seq": next_seq, "done": True},
+        )
+        return {"round": round_id, "fetched": 0, "enqueued": 0}
+
+    # 3. simulated fetch → spans
+    fetched = batch.withColumn("spans", spans_expr(F.col("url"), cfg.n_hosts))
+
+    documents = fetched.select(
+        F.concat(F.lit("doc-"), F.col("url_hash").cast("string")).alias("doc_id"),
+        "url", "url_hash", "crawlid",
+        F.lit(round_id).alias("fetched_round"),
+        "spans",
+    )
+
+    # 4. fetch log — the crawl-ordering record (parity artifact)
+    fetch_log = fetched.select(
+        F.lit(round_id).alias("round_id"), "url", "url_hash", "host",
+        "score", "enqueue_seq", "fetch_at", "fetch_rank", "depth",
+    )
+
+    # 5. link extraction from pages still allowed to expand (F6)
+    expandable = fetched.filter(F.col("depth") < F.col("maxdepth")).select(
+        F.concat(F.lit("doc-"), F.col("url_hash").cast("string")).alias("doc_id"),
+        F.col("depth").alias("parent_depth"),
+        "maxdepth",
+        F.col("priority").alias("parent_priority"),
+        "appid", "crawlid", "spiderid", "expires", "attrs",
+        F.col("score").alias("parent_score"),
+        F.col("enqueue_seq").alias("parent_seq"),
+        "spans",
+    )
+    links = extract_link_spans(expandable)
+    links = first_per_page(links)
+    links = apply_link_predicates(
+        links,
+        allowed_domains=cfg.allowed_domains,
+        allow_regex=cfg.allow_regex,
+        deny_regex=cfg.deny_regex,
+        deny_extensions=cfg.deny_extensions,
+    )
+    cands = links_to_candidates(links)
+    # depth guard happens at extraction time in the reference
+    # (link_spider.py:50-56) — BEFORE fingerprinting
+    cands = cands.filter(F.col("depth") <= F.col("maxdepth"))
+
+    # 6. dedup FIRST (reference order: the dupefilter is check-AND-insert
+    # and runs before blacklist/expiry — scheduler.py:87-103 — so even
+    # candidates later dropped by those filters enter the seen set):
+    # intra-round first-wins in pop order, then exact anti-join
+    pop_order = [
+        F.col("parent_score").desc(),
+        F.col("parent_seq").asc(),
+        F.col("anchor_offset").asc(),
+    ]
+    cands = with_dense_seq(cands, pop_order, start=0, col_name="_cand_rank")
+    cands = first_wins_dedup(cands, "_cand_rank")
+    if cfg.use_bloom and fmt.read("bloom") is not None:
+        bloom = PartitionedBloom()
+        fingerprinted = bloom.prefiltered_unseen(cands, seen, fmt.read("bloom"))
+    else:
+        fingerprinted = filter_unseen(cands, seen)
+    fingerprinted = fingerprinted.localCheckpoint()
+
+    # 7. enqueue filters (blacklist, expiry) — reference order, applied
+    # AFTER fingerprinting; dropped rows stay in the seen set
+    accepted = fr.apply_enqueue_filters(fingerprinted, blacklist)
+
+    # 8. dense enqueue_seq continuing the global sequence
+    accepted = with_dense_seq(
+        accepted, [F.col("_cand_rank").asc()], start=next_seq, col_name="enqueue_seq"
+    ).drop("_cand_rank", "parent_score", "parent_seq", "anchor_offset")
+    accepted = fr.with_salt(accepted, cfg.salt_buckets)
+    new_rows = accepted.select(*[c for c in frontier.columns])
+    new_rows = new_rows.localCheckpoint()
+    n_enqueued = new_rows.count()
+
+    # 9. next frontier state + seen append + counters, one atomic commit
+    remaining = fr.remove_dequeued(frontier, popped)
+    next_frontier = remaining.unionByName(new_rows)
+    # seen gets EVERY fingerprinted candidate (incl. blacklist/expiry
+    # drops), not just frontier appends — dupefilter.py check-and-insert
+    new_seen = fingerprinted.select(
+        "url_hash", "crawlid", F.lit(None).cast("long").alias("added_seq")
+    )
+    counters = _partition_counts(batch, "scheduler/dequeued", round_id).unionByName(
+        _partition_counts(new_rows, "scheduler/enqueued", round_id)
+    )
+    prev_counters = fmt.read("counters")
+    prev_log = fmt.read("fetch_log")
+    updates = {
+        "frontier": next_frontier,
+        "seen": seen.unionByName(new_seen),
+        "counters": counters if prev_counters is None else prev_counters.unionByName(counters),
+        "fetch_log": fetch_log if prev_log is None else prev_log.unionByName(fetch_log),
+        "documents": (
+            documents
+            if fmt.read("documents") is None
+            else fmt.read("documents").unionByName(documents)
+        ),
+    }
+    if cfg.use_bloom and fmt.read("bloom") is not None:
+        updates["bloom"] = PartitionedBloom().merge(fmt.read("bloom"), new_seen)
+    fmt.commit(
+        updates,
+        meta={"round": round_id, "next_seq": int(next_seq + n_enqueued)},
+    )
+    return {"round": round_id, "fetched": n_fetched, "enqueued": n_enqueued}
+
+
+def run_crawl(
+    spark: SparkSession,
+    root: str,
+    seeds: DataFrame,
+    robots: DataFrame,
+    cfg: CrawlConfig,
+    rounds: int,
+    resume: bool = False,
+) -> SnapshotParquetFormat:
+    """Bootstrap (unless resuming) + N rounds. A killed run resumes from
+    the last committed snapshot with no duplicated or lost work (ST5)."""
+    fmt = SnapshotParquetFormat(root, spark)
+    if not resume or fmt.current_snapshot_id() is None:
+        bootstrap(fmt, seeds, robots, cfg)
+    done_rounds = fmt.meta()["round"]
+    for _ in range(done_rounds, rounds):
+        stats = run_round(fmt, cfg)
+        if stats["fetched"] == 0:
+            break
+    return fmt
+
+
+def crawl_order(fmt: SnapshotParquetFormat) -> DataFrame:
+    """The crawl ordering (north_rule parity artifact): fetches in
+    (round, fetch_at, score desc, enqueue_seq) order."""
+    log = fmt.read("fetch_log")
+    return log.orderBy(F.col("round_id").asc(), *fetch_order())

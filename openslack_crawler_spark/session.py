@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the sandbox (local[N]) but with every
+knob parameterized so the same code runs `spark-submit --py-files` on a
+multi-executor cluster (BASELINE.json north_rule)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "openslack-crawler-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    cores=None → honor $SPARK_GRAFT_CPUS (default 32) in local mode,
+    or whatever master an external spark-submit supplied.
+    """
+    # executor python workers import this package by name (pandas UDFs,
+    # applyInPandas) — make sure they can resolve it regardless of cwd.
+    # On a real cluster spark-submit --py-files does this job.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if pkg_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
+
+    env_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = cores or env_cpus
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]")
+    sp = shuffle_partitions or max(n, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    # In a pre-existing session (e.g. driver harness) master is already set.
+    if not SparkSession.getActiveSession():
+        builder = builder.master(master)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,140 @@
+"""TableFormat seam: atomic snapshot-committed tables.
+
+north_rule asks for Iceberg tables; the sandbox has no Iceberg runtime
+jar (no network), so there are two implementations behind one seam
+(SURVEY.md §7):
+
+- `SnapshotParquetFormat` (always available): every commit writes new
+  parquet dirs for the changed tables plus ONE manifest json, then
+  atomically renames it to advance `CURRENT`. Readers only ever see a
+  committed manifest → snapshot isolation, exact resume (ST5), and
+  time-travel by snapshot id. This is functionally the slice of Iceberg
+  the engine needs (atomic multi-table commit + snapshot lineage); the
+  layout mirrors Iceberg's metadata-pointer design.
+
+- `IcebergFormat`: used when `spark.sql.catalog.*` + the runtime jar
+  are present (real cluster). Same API; appends/overwrites go through
+  `writeTo`, commits are Iceberg snapshots.
+
+Reference parallel: SCHEDULER_PERSIST resume ("Resuming crawl (N
+requests scheduled)", /root/reference/crawler/schedulers/redis/
+scheduler.py:57-70) and the redis-monitor's triple-pass purge
+(/root/reference/monitors/redis/redis-monitor.py:348-362) both become
+single atomic snapshot swaps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotParquetFormat:
+    """Multi-table store with atomic manifest-swap commits.
+
+    Layout:
+      root/data/<table>/<snapshot>-<uuid>/part-*.parquet
+      root/manifests/<snapshot_id>.json   (tables → data dir, meta)
+      root/CURRENT                        (the committed snapshot id)
+    """
+
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+
+    # -- snapshot plumbing --------------------------------------------------
+    def current_snapshot_id(self) -> int | None:
+        cur = os.path.join(self.root, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, snapshot_id: int) -> dict:
+        with open(os.path.join(self.root, "manifests", f"{snapshot_id}.json")) as f:
+            return json.load(f)
+
+    def current_manifest(self) -> dict | None:
+        sid = self.current_snapshot_id()
+        return self._manifest(sid) if sid is not None else None
+
+    def meta(self) -> dict:
+        m = self.current_manifest()
+        return (m or {}).get("meta", {})
+
+    # -- read ---------------------------------------------------------------
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame | None:
+        m = (
+            self._manifest(snapshot_id)
+            if snapshot_id is not None
+            else self.current_manifest()
+        )
+        if not m or table not in m["tables"]:
+            return None
+        return self.spark.read.parquet(m["tables"][table])
+
+    # -- write --------------------------------------------------------------
+    def commit(self, updates: dict[str, DataFrame], meta: dict | None = None) -> int:
+        """Write the given tables (full new contents) and advance CURRENT
+        atomically. Unchanged tables carry over from the parent manifest.
+        Appends are expressed by the caller as read().unionByName(new)."""
+        parent = self.current_manifest() or {"tables": {}, "snapshot_id": -1}
+        sid = parent["snapshot_id"] + 1
+        tables = dict(parent["tables"])
+        for name, df in updates.items():
+            path = os.path.join(
+                self.root, "data", name, f"{sid}-{uuid.uuid4().hex[:8]}"
+            )
+            df.write.mode("overwrite").parquet(path)
+            tables[name] = path
+        manifest = {
+            "snapshot_id": sid,
+            "parent": parent["snapshot_id"],
+            "tables": tables,
+            "meta": meta or {},
+        }
+        mpath = os.path.join(self.root, "manifests", f"{sid}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        tmp = os.path.join(self.root, f".CURRENT.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, os.path.join(self.root, "CURRENT"))  # the atomic commit
+        return sid
+
+    def append(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
+        cur = self.read(table)
+        merged = cur.unionByName(df) if cur is not None else df
+        return self.commit({table: merged}, meta)
+
+    def merge_upsert(self, table: str, df: DataFrame, key: str) -> int:
+        """MERGE INTO emulation (SURVEY.md §7: anti-join + union + swap):
+        new rows win on key collision — the upsert-by-id semantics of the
+        ES/Mongo/MySQL sinks (es.py:23-34, mongodb.py:86-90)."""
+        cur = self.read(table)
+        if cur is None:
+            return self.commit({table: df})
+        survivors = cur.join(df.select(key), key, "left_anti")
+        return self.commit({table: survivors.unionByName(df.select(cur.columns))})
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
+
+
+def make_table_format(root: str, spark: SparkSession):
+    """Return IcebergFormat when a configured Iceberg catalog exists,
+    else SnapshotParquetFormat (the sandbox path)."""
+    try:  # Iceberg present only when the runtime jar + catalog conf exist
+        if spark.conf.get("spark.sql.catalog.crawler", None):
+            from .iceberg_format import IcebergFormat  # noqa: PLC0415
+
+            return IcebergFormat(root, spark)
+    except Exception:
+        pass
+    return SnapshotParquetFormat(root, spark)

@@ -1,0 +1,92 @@
+"""Frontier queue semantics (SURVEY.md §2.5 W1-W4, §2.6 T1;
+offline.py:48-64 retry decay analogue)."""
+
+from pyspark.sql import functions as F
+
+from openslack_crawler_spark.operators import frontier as fr
+from openslack_crawler_spark.operators.politeness import assign_fetch_slots
+from openslack_crawler_spark.operators.sequence import with_dense_seq
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "url string, url_hash long, host string, host_hash long, "
+        "priority int, score double, enqueue_seq long, retry_times int, "
+        "dont_filter boolean",
+    )
+
+
+def test_retry_decay(spark):
+    # redis_retry.py:9-22: 70 → 60, retry_times+1, dont_filter set
+    df = _frontier(spark, [("u", 1, "h", 1, 70, 70.0, 0, 0, False)])
+    r = fr.decay_for_retry(df).collect()[0]
+    assert (r.priority, r.retry_times, r.dont_filter, r.score) == (60, 1, True, 60.0)
+
+
+def test_top_k_per_host_and_tiebreak(spark):
+    rows = [
+        ("a", 1, "h1", 10, 50, 50.0, 3, 0, False),
+        ("b", 2, "h1", 10, 90, 90.0, 2, 0, False),
+        ("c", 3, "h1", 10, 90, 90.0, 1, 0, False),  # tie: lower seq first
+        ("d", 4, "h2", 20, 10, 10.0, 4, 0, False),
+    ]
+    df = _frontier(spark, rows)
+    got = fr.dequeue_top_k_per_host(df, 2, salted=False)
+    ranks = {(r.url, r.dequeue_rank) for r in got.collect()}
+    assert ranks == {("c", 1), ("b", 2), ("d", 1)}
+
+
+def test_salted_dequeue_equals_unsalted(spark):
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("enqueue_seq"),
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            F.xxhash64("id").alias("url_hash"),
+            F.concat(F.lit("h"), F.pmod("id", F.lit(3))).alias("host"),
+            F.pmod("id", F.lit(3)).alias("host_hash"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)).cast("int").alias("priority"),
+        )
+        .withColumn("score", F.col("priority").cast("double"))
+        .withColumn("retry_times", F.lit(0))
+        .withColumn("dont_filter", F.lit(False))
+    )
+    salted = fr.with_salt(df, 8)
+    a = {r.url for r in fr.dequeue_top_k_per_host(salted, 5, salted=True).collect()}
+    b = {r.url for r in fr.dequeue_top_k_per_host(df, 5, salted=False).collect()}
+    assert a == b
+
+
+def test_global_pop_top1(spark):
+    rows = [
+        ("a", 1, "h1", 10, 50, 50.0, 3, 0, False),
+        ("b", 2, "h1", 10, 90, 90.0, 5, 0, False),
+        ("c", 3, "h2", 20, 90, 90.0, 9, 0, False),
+    ]
+    got = fr.pop_global_top1(_frontier(spark, rows)).collect()
+    assert [r.url for r in got] == ["b"]
+
+
+def test_politeness_slots(spark):
+    # 5 requests on one host, cap 2, delay 1.5 → slots 0,0,1,1,2
+    rows = [(f"u{i}", i, "h1", 10, 100 - i, float(100 - i), i, 0, False) for i in range(5)]
+    df = _frontier(spark, rows)
+    robots = spark.createDataFrame(
+        [("h1", 1.5, 2, [])], "host string, crawl_delay double, max_parallel int, disallow array<string>"
+    )
+    got = assign_fetch_slots(df, robots).orderBy("fetch_rank").collect()
+    assert [r.fetch_slot for r in got] == [0, 0, 1, 1, 2]
+    assert [r.fetch_at for r in got] == [0.0, 0.0, 1.5, 1.5, 3.0]
+    assert [r.url for r in got] == ["u0", "u1", "u2", "u3", "u4"]  # score desc
+
+
+def test_dense_seq_matches_global_rank(spark):
+    df = spark.range(500).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k")
+    )
+    got = with_dense_seq(df, [F.col("k").asc(), F.col("id").asc()], start=7, col_name="s")
+    rows = got.orderBy("s").collect()
+    assert [r.s for r in rows] == list(range(7, 507))
+    resorted = sorted(rows, key=lambda r: (r.k, r.id))
+    assert [r.s for r in resorted] == list(range(7, 507))

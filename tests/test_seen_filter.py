@@ -1,0 +1,77 @@
+"""Seen-filter semantics (SURVEY.md §2.2 F1-F3; tests/offline.py:29-45
+TestRedisDupefilter analogue: first add unseen, second add seen)."""
+
+from pyspark.sql import functions as F
+
+from openslack_crawler_spark.operators.seen_filter import (
+    PartitionedBloom,
+    filter_unseen,
+    first_wins_dedup,
+)
+
+
+def _cands(spark, rows):
+    return spark.createDataFrame(
+        rows, "url_hash long, enqueue_seq long, dont_filter boolean"
+    )
+
+
+def test_first_wins_dedup(spark):
+    c = _cands(spark, [(1, 10, False), (1, 5, False), (2, 7, False)])
+    got = {(r.url_hash, r.enqueue_seq) for r in first_wins_dedup(c).collect()}
+    assert got == {(1, 5), (2, 7)}  # earliest enqueue_seq wins, like SADD order
+
+
+def test_dont_filter_bypass(spark):
+    # scheduler.py:73 / offline.py: dont_filter requests skip dedup
+    c = _cands(spark, [(1, 1, False), (1, 2, True), (1, 3, True)])
+    assert first_wins_dedup(c).count() == 3
+    seen = spark.createDataFrame([(1,)], "url_hash long")
+    assert filter_unseen(c, seen).count() == 2  # only the flagged two survive
+
+
+def test_exact_anti_join(spark):
+    c = _cands(spark, [(1, 1, False), (2, 2, False), (3, 3, False)])
+    seen = spark.createDataFrame([(2,), (99,)], "url_hash long")
+    got = {r.url_hash for r in filter_unseen(c, seen).collect()}
+    assert got == {1, 3}
+
+
+def test_bloom_no_false_negatives_and_equivalence(spark):
+    n = 5000
+    seen = spark.range(n).select((F.xxhash64("id")).alias("url_hash"))
+    cands = (
+        spark.range(n // 2, n + 2000)
+        .select(F.xxhash64("id").alias("url_hash"))
+        .withColumn("enqueue_seq", F.col("url_hash"))
+        .withColumn("dont_filter", F.lit(False))
+    )
+    bloom = PartitionedBloom(num_blocks=8, bits=1 << 18)
+    blocks = bloom.build(seen)
+
+    # probe: every truly-seen hash must be flagged maybe_seen (no false negs)
+    probed = bloom.probe(cands, blocks)
+    truly_seen = probed.join(seen, "url_hash", "left_semi")
+    assert truly_seen.filter(~F.col("maybe_seen")).count() == 0
+
+    # prefiltered path ≡ exact path (bloom is prefilter, never decider)
+    exact = {r.url_hash for r in filter_unseen(cands, seen).collect()}
+    pre = {
+        r.url_hash
+        for r in bloom.prefiltered_unseen(cands, seen, blocks).collect()
+    }
+    assert pre == exact
+
+
+def test_bloom_incremental_merge(spark):
+    a = spark.range(0, 100).select(F.xxhash64("id").alias("url_hash"))
+    b = spark.range(100, 200).select(F.xxhash64("id").alias("url_hash"))
+    bloom = PartitionedBloom(num_blocks=4, bits=1 << 16)
+    merged = bloom.merge(bloom.build(a), b)
+    probed = bloom.probe(
+        a.unionByName(b)
+        .withColumn("enqueue_seq", F.lit(0).cast("long"))
+        .withColumn("dont_filter", F.lit(False)),
+        merged,
+    )
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
