@@ -1,38 +1,84 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship scheduling-round query on sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2 +
+                training-data ops), each (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent ANSI SQL per query (omitted only for
+                genuinely non-SQL-expressible ops → rows-only check).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openslack_crawler_spark import queries_relational
+
+_REGISTRIES = [queries_relational.REGISTRY]
+try:  # built incrementally; keep entry importable while modules land
+    from openslack_crawler_spark import queries_textdedup
+
+    _REGISTRIES.append(queries_textdedup.REGISTRY)
+except ImportError:
+    pass
+try:
+    from openslack_crawler_spark import queries_similarity
+
+    _REGISTRIES.append(queries_similarity.REGISTRY)
+except ImportError:
+    pass
+try:
+    from openslack_crawler_spark import queries_pipeline
+
+    _REGISTRIES.append(queries_pipeline.REGISTRY)
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one crawl-scheduling round — frontier build → seen
+    anti-join dedup → per-host top-k dequeue → politeness slot
+    assignment — over a frontier synthesized from sf0.001 events."""
+    sf_dir = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    frontier = events.select(
+        F.concat(
+            F.lit("http://host-"), F.col("user_id").cast("string"),
+            F.lit(".example/p/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.col("user_id").alias("host_id"),
+        F.col("event_id").alias("enqueue_seq"),
+        F.floor("value").cast("int").alias("priority"),
+    ).withColumn("url_hash", F.xxhash64("url")).withColumn(
+        "score", F.col("priority").cast("double")
+    )
+    # seen = every third URL already crawled
+    seen = frontier.filter(F.pmod("enqueue_seq", F.lit(3)) == 0).select("url_hash")
+    fresh = frontier.join(seen, "url_hash", "left_anti")
+    w = Window.partitionBy("host_id").orderBy(F.col("score").desc(), F.col("enqueue_seq").asc())
+    batch = fresh.withColumn("fetch_rank", F.row_number().over(w)).filter(
+        F.col("fetch_rank") <= 8
+    )
+    return batch.select(
+        "url", "host_id", "priority", "fetch_rank",
+        (F.floor((F.col("fetch_rank") - 1) / 4) * 1.0).alias("fetch_at"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for reg in _REGISTRIES:
+        for name, (fn, _sql) in reg.items():
+            out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for reg in _REGISTRIES:
+        for name, (_fn, sql) in reg.items():
+            if sql is not None:
+                out[name] = sql
+    return out

@@ -1,0 +1,272 @@
+"""Similarity search over the `embeddings` table (array<float> column):
+brute-force cosine top-k (the correctness baseline) and an LSH-bucketed
+variant (the scale path — bucket first, then rank only within buckets).
+
+Determinism notes:
+- dot products are IN-ORDER folds (`F.aggregate` over `zip_with`) —
+  bitwise-identical to DuckDB's list_dot_product (verified); group-SUM
+  over doubles is never used (addition order is nondeterministic).
+- LSH hyperplanes are integer-valued pseudo-vectors derived from the
+  portable md5 hash, and projections use integerized embeddings
+  (floor(x*1000)) so the sign test is exact integer arithmetic.
+- similarities are emitted as floor(sim * 1e6) integers.
+
+At 10^10-row scale the brute-force path is the per-bucket kernel of
+the IVF/LSH variant, not a global cross join; `ann_lsh_topk` is the
+shape that scales (bucket equi-join co-locates candidates, Catalyst
+picks SMJ/broadcast per AQE stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .queries_textdedup import h60
+
+N_QUERIES = 10
+TOP_K = 5
+N_PLANES = 4
+DIM = 64
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dvec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_expr(a_col, b_col):
+    a, b = _dvec(a_col), _dvec(b_col)
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# --- brute-force cosine top-k -------------------------------------------------
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = (
+        queries.crossJoin(cands)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_expr(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "rnk",
+            "neighbor_id",
+            F.floor(F.col("sim") * 1000000).cast("long").alias("sim_micro"),
+        )
+    )
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cast(rnk AS int) AS rnk, neighbor_id,
+       cast(floor(sim * 1000000) AS bigint) AS sim_micro
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+# --- LSH bucket assignment (signed random projection) --------------------------
+def q_lsh_buckets(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    # integerized embedding: floor(x * 1000) — exact in both engines
+    iv = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long"))).alias("i", "x"),
+    )
+    planes = (
+        iv.select("vec_id", "i", "x", F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j"))
+        .withColumn(
+            "g",
+            F.pmod(
+                h60(F.concat(F.col("j").cast("string"), F.lit("_"), F.col("i").cast("string"))),
+                F.lit(2001),
+            ) - 1000,
+        )
+        .withColumn("contrib", F.col("x") * F.col("g"))
+    )
+    proj = planes.groupBy("vec_id", "j").agg(F.sum("contrib").alias("s"))
+    bits = proj.withColumn(
+        "bit", F.when(F.col("s") > 0, F.expr("cast(pow(2, j) as bigint)")).otherwise(0)
+    )
+    return bits.groupBy("vec_id").agg(F.sum("bit").cast("long").alias("bucket"))
+
+
+SQL_LSH_BUCKETS = f"""
+WITH iv AS (
+  SELECT vec_id, i - 1 AS i, cast(floor(x * 1000) AS bigint) AS x
+  FROM (
+    SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+), planes AS (
+  SELECT vec_id, j,
+         x * ((cast(concat('0x', substr(md5(concat(j, '_', i)), 1, 15)) AS bigint) % 2001) - 1000) AS contrib
+  FROM iv, generate_series(0, {N_PLANES - 1}) AS t(j)
+), proj AS (
+  SELECT vec_id, j, sum(contrib) AS s FROM planes GROUP BY vec_id, j
+)
+SELECT vec_id,
+       cast(sum(CASE WHEN s > 0 THEN cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS bucket
+FROM proj GROUP BY vec_id
+"""
+
+
+# --- LSH-bucketed ANN: rank only within bucket ---------------------------------
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = q_lsh_buckets(spark, sf_dir)
+    be = emb.join(buckets, "vec_id")
+    queries = be.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    cands = be.select(F.col("vec_id").alias("neighbor_id"), "embedding", "bucket")
+    scored = (
+        queries.join(cands, "bucket")  # co-located candidates only
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_expr(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "rnk",
+            "neighbor_id",
+            F.floor(F.col("sim") * 1000000).cast("long").alias("sim_micro"),
+        )
+    )
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH iv AS (
+  SELECT vec_id, i - 1 AS i, cast(floor(x * 1000) AS bigint) AS x
+  FROM (
+    SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+), planes AS (
+  SELECT vec_id, j,
+         x * ((cast(concat('0x', substr(md5(concat(j, '_', i)), 1, 15)) AS bigint) % 2001) - 1000) AS contrib
+  FROM iv, generate_series(0, {N_PLANES - 1}) AS t(j)
+), proj AS (
+  SELECT vec_id, j, sum(contrib) AS s FROM planes GROUP BY vec_id, j
+), buckets AS (
+  SELECT vec_id,
+         cast(sum(CASE WHEN s > 0 THEN cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS bucket
+  FROM proj GROUP BY vec_id
+), be AS (
+  SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim
+  FROM be q JOIN be c ON q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cast(rnk AS int) AS rnk, neighbor_id,
+       cast(floor(sim * 1000000) AS bigint) AS sim_micro
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+# --- embedding near-dup pairs (cosine above threshold) --------------------------
+def q_embedding_neardup_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = q_lsh_buckets(spark, sf_dir)
+    be = emb.join(buckets, "vec_id")
+    a = be.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
+    b = be.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", cosine_expr(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("sim") > 0.40)
+    )
+    return pairs.select(
+        "vec_a", "vec_b", F.floor(F.col("sim") * 1000000).cast("long").alias("sim_micro")
+    )
+
+
+SQL_EMBEDDING_NEARDUP_PAIRS = f"""
+WITH iv AS (
+  SELECT vec_id, i - 1 AS i, cast(floor(x * 1000) AS bigint) AS x
+  FROM (
+    SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+), planes AS (
+  SELECT vec_id, j,
+         x * ((cast(concat('0x', substr(md5(concat(j, '_', i)), 1, 15)) AS bigint) % 2001) - 1000) AS contrib
+  FROM iv, generate_series(0, {N_PLANES - 1}) AS t(j)
+), proj AS (
+  SELECT vec_id, j, sum(contrib) AS s FROM planes GROUP BY vec_id, j
+), buckets AS (
+  SELECT vec_id,
+         cast(sum(CASE WHEN s > 0 THEN cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS bucket
+  FROM proj GROUP BY vec_id
+), be AS (
+  SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       cast(floor(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) * 1000000
+       ) AS bigint) AS sim_micro
+FROM be a JOIN be b ON a.bucket = b.bucket
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.40
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
+}

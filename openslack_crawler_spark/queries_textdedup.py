@@ -1,0 +1,393 @@
+"""Training-data text ops over the `documents` table: deduplication
+(exact, MinHash+LSH, SimHash, n-gram Jaccard) and text analysis
+(language-ID heuristic, quality scoring, token counting, document
+fingerprinting). Spark side is pure column expressions (JVM codegen,
+no Python); every query has a DuckDB oracle.
+
+Cross-engine determinism rules used throughout:
+- portable 60-bit hash: bigint of the first 15 hex chars of md5 —
+  identical in Spark (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+  (`('0x' || substr(md5(x),1,15))::bigint`).
+- no round() on computed doubles (engines disagree at representation
+  boundaries); ratios are emitted as floor(x * 1e6) integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+MINHASH_PERMS = 8
+LSH_BAND_SIZE = 2  # → 4 bands
+SIMHASH_BITS = 32
+STOPWORDS = ["the", "and", "of", "a", "to", "in"]
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def h60(col):
+    """Portable 60-bit hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def words_col(text_col):
+    """Lowercased alnum word array, empties stripped — the shared
+    tokenizer contract with the SQL oracles."""
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(text_col, "[^a-zA-Z0-9 ]", " ")), " "),
+        lambda x: x != "",
+    )
+
+
+SQL_WORDS = (
+    "list_filter(string_split(lower(regexp_replace({t}, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+
+def shingles_col(w):
+    """Word 3-gram shingles (1-based slice, length size-2)."""
+    return F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+SQL_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)] "
+    "ELSE [] END"
+)
+
+
+# --- exact dedup: hash-groupBy ----------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash of the normalized leading words —
+    hash-groupBy, first doc_id wins (the kept copy)."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(words_col(F.col("text")), 1, 5)))
+    return (
+        docs.groupBy(key.alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH words AS (
+  SELECT doc_id, {SQL_WORDS.format(t='text')} AS w FROM documents
+)
+SELECT md5(array_to_string(w[1:5], ' ')) AS text_hash,
+       count(*) AS n_copies, min(doc_id) AS keep_doc_id
+FROM words GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# --- MinHash signatures ------------------------------------------------------
+def q_minhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", words_col(F.col("text")).alias("w")
+    )
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("w"))).alias("sh")
+    )
+    perms = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(F.sequence(F.lit(1), F.lit(MINHASH_PERMS))).alias("perm"),
+    )
+    hashed = perms.withColumn(
+        "h", h60(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("sh")))
+    )
+    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH words AS (
+  SELECT doc_id, {SQL_WORDS.format(t='text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest({SQL_SHINGLES}) AS sh FROM words
+), hx AS (
+  SELECT doc_id, cast(perm AS int) AS perm,
+         cast(concat('0x', substr(md5(concat(perm, '|', sh)), 1, 15)) AS bigint) AS h
+  FROM sh, generate_series(1, {MINHASH_PERMS}) AS t(perm)
+)
+SELECT doc_id, perm, min(h) AS minhash FROM hx GROUP BY doc_id, perm
+"""
+
+
+# --- MinHash LSH candidate pairs (band → bucket join) ------------------------
+def q_minhash_lsh_pairs(spark, sf_dir):
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", ((F.col("perm") - 1) / LSH_BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("band_sig")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_sig"
+    )
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH words AS (
+  SELECT doc_id, {SQL_WORDS.format(t='text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest({SQL_SHINGLES}) AS sh FROM words
+), hx AS (
+  SELECT doc_id, cast(perm AS int) AS perm,
+         cast(concat('0x', substr(md5(concat(perm, '|', sh)), 1, 15)) AS bigint) AS h
+  FROM sh, generate_series(1, {MINHASH_PERMS}) AS t(perm)
+), sig AS (
+  SELECT doc_id, perm, min(h) AS minhash FROM hx GROUP BY doc_id, perm
+), bands AS (
+  SELECT doc_id, cast((perm - 1) // {LSH_BAND_SIZE} AS int) AS band,
+         string_agg(cast(minhash AS varchar), ',' ORDER BY perm) AS band_sig
+  FROM sig GROUP BY doc_id, cast((perm - 1) // {LSH_BAND_SIZE} AS int)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# --- SimHash ------------------------------------------------------------------
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", words_col(F.col("text")).alias("w")
+    )
+    toks = docs.select("doc_id", F.explode("w").alias("tok")).withColumn(
+        "h", h60(F.col("tok"))
+    )
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("(h div cast(pow(2, b) as bigint)) % 2") == 1, 1).otherwise(-1),
+    )
+    bit_sums = bits.groupBy("doc_id", "b").agg(F.sum("contrib").alias("s"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("cast(pow(2, b) as bigint)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+SQL_SIMHASH = f"""
+WITH words AS (
+  SELECT doc_id, {SQL_WORDS.format(t='text')} AS w FROM documents
+), toks AS (
+  SELECT doc_id,
+         cast(concat('0x', substr(md5(unnest(w)), 1, 15)) AS bigint) AS h
+  FROM words
+), bits AS (
+  SELECT doc_id, b,
+         CASE WHEN (h // cast(pow(2, b) AS bigint)) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM toks, generate_series(0, {SIMHASH_BITS - 1}) AS t(b)
+), bit_sums AS (
+  SELECT doc_id, b, sum(contrib) AS s FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN cast(pow(2, b) AS bigint) ELSE 0 END) AS simhash
+FROM bit_sums GROUP BY doc_id
+"""
+
+
+# --- n-gram Jaccard near-dup pairs -------------------------------------------
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", words_col(F.col("text")).alias("w")
+    )
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("w"))).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # frequency cap: shingles shared by >20 docs generate quadratic pair
+    # blowup and carry no near-dup signal — standard LSH-era pruning
+    rare = sh.join(
+        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 20),
+        "sh",
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard_micro",
+            F.floor(
+                F.col("inter") * 1000000 / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_micro") >= 500000)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard_micro")
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH words AS (
+  SELECT doc_id, {SQL_WORDS.format(t='text')} AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({SQL_SHINGLES}) AS sh FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT sh.doc_id, sh.sh FROM sh
+  JOIN (SELECT sh, count(*) AS df FROM sh GROUP BY sh HAVING count(*) <= 20) f
+    ON sh.sh = f.sh
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       cast(floor(inter * 1000000 / (sa.sz + sb.sz - inter)) AS bigint) AS jaccard_micro
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor(inter * 1000000 / (sa.sz + sb.sz - inter)) >= 500000
+"""
+
+
+# --- language-ID heuristic ----------------------------------------------------
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", words_col(F.col("text")).alias("w")
+    )
+    en = F.size(F.filter(F.col("w"), lambda x: x.isin("the", "and", "of", "a")))
+    latin = F.size(F.filter(F.col("w"), lambda x: x.rlike("^[a-z]+$")))
+    return docs.select(
+        "doc_id",
+        "lang",
+        en.alias("en_markers"),
+        F.when(en >= 1, F.lit("en"))
+        .when(latin >= 1, F.lit("latin-other"))
+        .otherwise(F.lit("unknown"))
+        .alias("predicted_lang"),
+    )
+
+
+SQL_LANG_ID = f"""
+WITH words AS (
+  SELECT doc_id, lang, {SQL_WORDS.format(t='text')} AS w FROM documents
+)
+SELECT doc_id, lang,
+       cast(len(list_filter(w, x -> x IN ('the', 'and', 'of', 'a'))) AS int) AS en_markers,
+       CASE WHEN len(list_filter(w, x -> x IN ('the', 'and', 'of', 'a'))) >= 1 THEN 'en'
+            WHEN len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$'))) >= 1 THEN 'latin-other'
+            ELSE 'unknown' END AS predicted_lang
+FROM words
+"""
+
+
+# --- quality scoring ------------------------------------------------------------
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    n_words = F.size(w)
+    stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    punct = F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_words.alias("n_words"),
+        stop.alias("n_stopwords"),
+        punct.alias("n_punct"),
+        F.when(n_words > 0, F.floor(stop * 1000000 / n_words))
+        .otherwise(0)
+        .cast("long")
+        .alias("stopword_ratio_micro"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH words AS (
+  SELECT doc_id, text, {SQL_WORDS.format(t='text')} AS w FROM documents
+)
+SELECT doc_id, cast(length(text) AS int) AS n_chars,
+       cast(len(w) AS int) AS n_words,
+       cast(len(list_filter(w, x -> x IN ({', '.join("'" + s + "'" for s in STOPWORDS)}))) AS int) AS n_stopwords,
+       cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS int) AS n_punct,
+       CASE WHEN len(w) > 0
+            THEN cast(floor(len(list_filter(w, x -> x IN ({', '.join("'" + s + "'" for s in STOPWORDS)}))) * 1000000 / len(w)) AS bigint)
+            ELSE 0 END AS stopword_ratio_micro
+FROM words
+"""
+
+
+# --- token counting (whitespace + BPE-ish regex) --------------------------------
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ws_tokens = F.size(words_col(F.col("text")))
+    bpe_ish = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0
+        )
+    )
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("n_ws_tokens"),
+        bpe_ish.alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       cast(len({SQL_WORDS.format(t='text')}) AS int) AS n_ws_tokens,
+       cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS int) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# --- document fingerprint ---------------------------------------------------------
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    normalized = F.concat_ws(" ", words_col(F.col("text")))
+    return docs.select("doc_id", h60(normalized).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       cast(concat('0x', substr(md5(array_to_string({SQL_WORDS.format(t='text')}, ' ')), 1, 15)) AS bigint) AS fingerprint
+FROM documents
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+}
