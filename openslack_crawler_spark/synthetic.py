@@ -42,12 +42,17 @@ def gen_seeds(
     n_hosts: int = 100,
     seed: int = 42,
     dup_frac: float = 0.1,
+    messy_frac: float = 0.0,
     crawlid: str = "crawl-1",
     appid: str = "app-1",
 ) -> DataFrame:
     """Seed list: n raw URLs, ~dup_frac duplicates (same canonical URL at
     a later enqueue_seq) to exercise first-wins dedup semantics
-    (dupefilter.py:39-44: first SADD wins)."""
+    (dupefilter.py:39-44: first SADD wins). ~messy_frac of URLs arrive
+    in non-canonical form (uppercase scheme/host, default port,
+    unsorted query, fragment) — realistic crawl input that exercises
+    the full canonicalizer slow path instead of the fixed-point fast
+    path."""
     df = spark.range(n).withColumnRenamed("id", "i")
     # ~dup_frac of rows point at an earlier row's page id
     dup_u = _u01(F.col("i") + 7, seed)
@@ -56,14 +61,28 @@ def gen_seeds(
         F.pmod(F.xxhash64(F.col("i"), F.lit(seed + 1)), F.col("i")),
     ).otherwise(F.col("i"))
     host_id = zipf_host(page_id, n_hosts, seed + 2)
+    messy_u = _u01(F.col("i") + 13, seed + 4)
+    clean_url = F.concat(
+        F.lit("http://host-"),
+        host_id.cast("string"),
+        F.lit(".example/p/"),
+        page_id.cast("string"),
+    )
+    messy_url = F.concat(
+        F.lit("HTTP://Host-"),
+        host_id.cast("string"),
+        F.lit(".Example:80/p/"),
+        page_id.cast("string"),
+        F.lit("?b=2&a=1#frag"),
+    )
+    url = (
+        F.when(messy_u < messy_frac, messy_url).otherwise(clean_url)
+        if messy_frac > 0
+        else clean_url
+    )
     return (
         df.select(
-            F.concat(
-                F.lit("http://host-"),
-                host_id.cast("string"),
-                F.lit(".example/p/"),
-                page_id.cast("string"),
-            ).alias("url"),
+            url.alias("url"),
             (1 + F.pmod(F.xxhash64(page_id, F.lit(seed + 3)), F.lit(100)))
             .cast("int")
             .alias("priority"),
