@@ -26,7 +26,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_URLS = int(os.environ.get("BENCH_URLS", "2000000"))
+N_URLS = int(os.environ.get("BENCH_URLS", "32000000"))
 N_HOSTS = 20000
 CORES_LOW, CORES_HIGH = 8, 32
 
@@ -166,11 +166,18 @@ def main():
 
     scaling = {}
     results = {}
+    import shutil as _shutil
+
     for cores in (CORES_LOW, CORES_HIGH):
+        cmd = [sys.executable, os.path.abspath(__file__), "--sched-bench",
+               "--cores", str(cores), "--urls", str(N_URLS)]
+        if _shutil.which("taskset"):
+            # pin the whole process tree (JVM + python workers) to a
+            # `cores`-wide CPU budget: an unpinned local[8] on a 32-core
+            # box borrows the idle cores and understates scaling
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--sched-bench",
-             "--cores", str(cores), "--urls", str(N_URLS)],
-            capture_output=True, text=True, timeout=1800,
+            cmd, capture_output=True, text=True, timeout=1800,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         for line in proc.stdout.splitlines():

@@ -73,14 +73,16 @@ def filter_unseen(cands: DataFrame, seen: DataFrame) -> DataFrame:
 def _mix(h: np.ndarray, k: int) -> np.ndarray:
     """k-th derived hash from the 64-bit url_hash (splitmix-style remix;
     replaces the reference's 7 seeded SimpleHash passes over md5 hex,
-    bloomfilter.py:17-21, with branch-free vectorized arithmetic)."""
-    x = (h.astype(np.uint64) + np.uint64(k) * np.uint64(0x9E3779B97F4A7C15))
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
+    bloomfilter.py:17-21, with branch-free vectorized arithmetic).
+    uint64 wraparound is the point — suppress numpy's overflow noise."""
+    with np.errstate(over="ignore"):
+        x = h.astype(np.uint64) + np.uint64((k * 0x9E3779B97F4A7C15) % (1 << 64))
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x
 
 
 class PartitionedBloom:

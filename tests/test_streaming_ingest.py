@@ -1,0 +1,40 @@
+"""Streaming request ingest (ST1-ST4): json files → validated requests
+→ atomic micro-batch enqueue; redelivery is idempotent."""
+
+import json
+
+from openslack_crawler_spark.sources.table_format import SnapshotParquetFormat
+from openslack_crawler_spark.streaming.ingest import start_file_ingest
+
+
+def _write_requests(d, rows, name):
+    with open(d / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_file_ingest_enqueues_and_dedups(spark, tmp_path):
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    reqs = [
+        {"url": "http://a.example/1", "appid": "app", "priority": 9},
+        {"url": "http://a.example/2", "appid": "app"},
+        {"url": "http://A.EXAMPLE/1", "appid": "app"},  # dupe after canonicalize
+        {"appid": "no-url-invalid"},
+    ]
+    _write_requests(incoming, reqs, "batch1.json")
+    fmt = SnapshotParquetFormat(str(tmp_path / "store"), spark)
+    q = start_file_ingest(spark, fmt, str(incoming))
+    q.awaitTermination(120)
+
+    frontier = fmt.read("frontier")
+    rows = {r.url: r for r in frontier.collect()}
+    assert set(rows) == {"http://a.example/1", "http://a.example/2"}
+    assert rows["http://a.example/1"].priority == 9
+    assert rows["http://a.example/2"].priority == 1  # schema default injected
+
+    # redelivery: the same requests arrive again → all dropped as seen
+    _write_requests(incoming, reqs[:3], "batch2.json")
+    q2 = start_file_ingest(spark, fmt, str(incoming))
+    q2.awaitTermination(120)
+    assert fmt.read("frontier").count() == 2
