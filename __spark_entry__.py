@@ -35,6 +35,12 @@ try:
     _REGISTRIES.append(queries_pipeline.REGISTRY)
 except ImportError:
     pass
+try:
+    from openslack_crawler_spark import queries_media
+
+    _REGISTRIES.append(queries_media.REGISTRY)
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,122 @@
+"""Content-addressed media pipeline (SURVEY.md §2.1 S15/S16).
+
+Reference semantics:
+- media keyed sha1(url), stored with checksum, re-fetch skipped while
+  fresh (< EXPIRES days) (/root/reference/crawler/pipelines/
+  file.py:170-264, freshness 225-256, key 258-264).
+- image variant with thumbnail sizes (/root/reference/crawler/
+  pipelines/image.py:41-64,103-139; IMAGES_THUMBS settings.py:356-359).
+
+Spark rebuild: media spans → candidate media URLs → freshness
+left-anti join against the media table → fetch-batch emit → media
+append (content-addressed, idempotent). Decode/thumbnail is a
+deterministic STUB behind mapInPandas (no image libs in-sandbox) with
+real Spark plumbing: binary columns, Arrow batches, typed schema.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_EXPIRES_DAYS = 90  # FILES_EXPIRES / IMAGES_EXPIRES default
+
+
+def media_candidates(documents: DataFrame) -> DataFrame:
+    """documents.spans → one row per media span, in document order:
+    (doc_id, media_ref, kind, media_url, media_key)."""
+    rows = documents.select(
+        "doc_id", "url", F.explode("spans").alias("span")
+    ).filter(F.col("span.kind").isin("image", "file"))
+    media_url = F.concat(
+        F.lit("http://media.example/"), F.col("span.media_ref")
+    )
+    return rows.select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.media_ref").alias("media_ref"),
+        media_url.alias("media_url"),
+        F.sha1(media_url).alias("media_key"),  # file.py:258-264
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def needs_fetch(
+    candidates: DataFrame,
+    media: DataFrame | None,
+    now_expr=None,
+    expires_days: int = MEDIA_EXPIRES_DAYS,
+) -> DataFrame:
+    """Freshness gate (file.py:225-256): fetch a media key only if it is
+    absent or stale. left join + filter (J4)."""
+    if media is None:
+        return candidates.dropDuplicates(["media_key"])
+    now_expr = now_expr if now_expr is not None else F.current_timestamp()
+    fresh = media.filter(
+        F.col("fetched_at") > F.date_sub(now_expr.cast("date"), expires_days)
+    ).select("media_key")
+    return candidates.join(fresh, "media_key", "left_anti").dropDuplicates(
+        ["media_key"]
+    )
+
+
+def fetch_media_stub(batch: DataFrame, round_id: int) -> DataFrame:
+    """Simulated media fetch + decode over mapInPandas: payload bytes
+    are a deterministic function of the key (the real downloader plugs
+    in here); checksum mirrors the GridFS md5 (file.py:241-247)."""
+
+    def fetch(batches):
+        for pdf in batches:
+            payloads = [
+                zlib.compress(k.encode(), 1) for k in pdf["media_key"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_key": pdf["media_key"],
+                    "url": pdf["media_url"],
+                    "content_type": [
+                        "image/fake" if k == "image" else "application/fake"
+                        for k in pdf["kind"]
+                    ],
+                    "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "payload": payloads,
+                }
+            )
+
+    out = batch.select("media_key", "media_url", "kind").mapInPandas(
+        fetch,
+        schema="media_key string, url string, content_type string, "
+        "checksum string, payload binary",
+    )
+    return out.withColumn("fetched_round", F.lit(round_id)).withColumn(
+        "fetched_at", F.current_timestamp()
+    )
+
+
+def thumbnail_stub(media: DataFrame, sizes: dict[str, tuple[int, int]] | None = None) -> DataFrame:
+    """IMAGES_THUMBS semantics (settings.py:356-359): one output row per
+    (image, size-name); the resize is a deterministic fake (payload
+    truncation) with real schema/plumbing."""
+    sizes = sizes or {"small": (270, 270), "big": (970, 970)}
+    size_rows = F.array(
+        *[
+            F.struct(F.lit(name).alias("size_name"), F.lit(w).alias("w"), F.lit(h).alias("h"))
+            for name, (w, h) in sizes.items()
+        ]
+    )
+    imgs = media.filter(F.col("content_type").startswith("image/"))
+    return imgs.select(
+        "media_key",
+        F.explode(size_rows).alias("s"),
+        F.col("payload"),
+    ).select(
+        "media_key",
+        F.col("s.size_name").alias("size_name"),
+        F.col("s.w").alias("width"),
+        F.col("s.h").alias("height"),
+        F.substring("payload", 1, 64).alias("thumb_payload"),
+    )

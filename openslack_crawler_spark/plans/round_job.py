@@ -274,23 +274,21 @@ def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
     counters = _partition_counts(batch, "scheduler/dequeued", round_id).unionByName(
         _partition_counts(new_rows, "scheduler/enqueued", round_id)
     )
-    prev_counters = fmt.read("counters")
-    prev_log = fmt.read("fetch_log")
-    updates = {
-        "frontier": next_frontier,
-        "seen": seen.unionByName(new_seen),
-        "counters": counters if prev_counters is None else prev_counters.unionByName(counters),
-        "fetch_log": fetch_log if prev_log is None else prev_log.unionByName(fetch_log),
-        "documents": (
-            documents
-            if fmt.read("documents") is None
-            else fmt.read("documents").unionByName(documents)
-        ),
+    # frontier is replaced (dequeues remove rows); seen / documents /
+    # fetch_log / counters are append-only deltas — O(round) write work,
+    # never O(history) (a 10^10-row seen table is only ever appended to)
+    updates = {"frontier": next_frontier}
+    appends = {
+        "seen": new_seen,
+        "counters": counters,
+        "fetch_log": fetch_log,
+        "documents": documents,
     }
     if cfg.use_bloom and fmt.read("bloom") is not None:
         updates["bloom"] = PartitionedBloom().merge(fmt.read("bloom"), new_seen)
     fmt.commit(
         updates,
+        appends=appends,
         meta={"round": round_id, "next_seq": int(next_seq + n_enqueued)},
     )
     return {"round": round_id, "fetched": n_fetched, "enqueued": n_enqueued}

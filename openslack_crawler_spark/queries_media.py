@@ -1,0 +1,222 @@
+"""Media-pipeline and scalar-kernel queries + analytics muscle
+(SURVEY.md §2.1 S15, §2.8 C3-C7/C13, §2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- S15/C3: content-addressed media keys (file.py:258-264) -------------------
+def q_media_keys(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media_url = F.concat(F.lit("http://media.example/img-"), F.col("doc_id").cast("string"))
+    return docs.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+        "doc_id",
+        media_url.alias("media_url"),
+        F.sha2(media_url, 256).alias("media_key"),
+    )
+
+
+SQL_MEDIA_KEYS = """
+SELECT doc_id,
+       concat('http://media.example/img-', doc_id) AS media_url,
+       sha256(concat('http://media.example/img-', doc_id)) AS media_key
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+# --- media fetch plan: dedup by key + freshness gate (rows checked vs SQL) ----
+def q_media_fetch_plan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    refs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("m-"), F.pmod("doc_id", F.lit(50)).cast("string")),
+                F.concat(F.lit("m-"), F.pmod(F.col("doc_id") + 7, F.lit(50)).cast("string")),
+            )
+        ).alias("media_ref"),
+    )
+    h = F.conv(F.substring(F.md5("media_ref"), 1, 15), 16, 10).cast("long")
+    already = refs.filter(F.pmod(h, F.lit(2)) == 0).select("media_ref").distinct()
+    return (
+        refs.join(already, "media_ref", "left_anti")
+        .groupBy("media_ref")
+        .agg(F.count(F.lit(1)).alias("n_wanting_docs"))
+    )
+
+
+SQL_MEDIA_FETCH_PLAN = """
+WITH refs AS (
+  SELECT doc_id, concat('m-', doc_id % 50) AS media_ref FROM documents
+  UNION ALL
+  SELECT doc_id, concat('m-', (doc_id + 7) % 50) AS media_ref FROM documents
+)
+SELECT media_ref, count(*) AS n_wanting_docs FROM refs
+WHERE media_ref NOT IN (
+  SELECT DISTINCT media_ref FROM refs WHERE cast(concat('0x', substr(md5(media_ref), 1, 15)) AS bigint) % 2 = 0
+)
+GROUP BY media_ref
+"""
+
+
+# --- C5-C7: string processors (processors.py:5-43) ----------------------------
+def q_string_processors(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.trim(F.col("p_name")).alias("stripped"),
+        F.concat(F.lit("part:"), F.col("p_name")).alias("prefixed"),
+        F.concat(F.col("p_brand"), F.lit("#x")).alias("suffixed"),
+        F.lit("const").alias("constant"),
+        F.upper("p_type").alias("upper_type"),
+    )
+
+
+SQL_STRING_PROCESSORS = """
+SELECT p_partkey, trim(p_name) AS stripped,
+       concat('part:', p_name) AS prefixed,
+       concat(p_brand, '#x') AS suffixed,
+       'const' AS constant, upper(p_type) AS upper_type
+FROM part
+"""
+
+
+# --- C13: host/path extraction from URLs (csdn.py:87,100) ---------------------
+def q_host_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://host-"), F.pmod("doc_id", F.lit(9)).cast("string"),
+        F.lit(".example/a/"), F.col("doc_id").cast("string"), F.lit("?q=1"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+
+
+SQL_HOST_EXTRACT = """
+SELECT doc_id,
+       concat('host-', doc_id % 9, '.example') AS host,
+       concat('/a/', doc_id) AS path,
+       'q=1' AS query
+FROM documents
+"""
+
+
+# --- TPC-H Q1-style pricing summary (exact decimal money) ---------------------
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("decimal(18,1)").alias("sum_qty"),
+            (F.sum(dec("l_extendedprice")) * 100).cast("long").alias("sum_base_cents"),
+            (F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))) * 10000)
+            .cast("long")
+            .alias("sum_disc_decimicro"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(l_quantity) AS decimal(18,1)) AS sum_qty,
+       cast(sum(cast(l_extendedprice AS decimal(18,2))) * 100 AS bigint) AS sum_base_cents,
+       cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) * 10000 AS bigint) AS sum_disc_decimicro,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- TPC-H Q3-style: join + agg + top-k ---------------------------------------
+def q_top_revenue_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+    )
+    return (
+        j.groupBy("l_orderkey")
+        .agg(
+            (F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))) * 10000)
+            .cast("long")
+            .alias("revenue_decimicro")
+        )
+        .orderBy(F.col("revenue_decimicro").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT l_orderkey,
+       cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) * 10000 AS bigint) AS revenue_decimicro
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY l_orderkey
+ORDER BY revenue_decimicro DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+# --- A2: global max/min stats (stats.py:51-55) ---------------------------------
+def q_stats_max_min(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return events.agg(
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+        F.max("ts").alias("last_seen"),
+        F.min("ts").alias("first_seen"),
+    )
+
+
+SQL_STATS_MAX_MIN = """
+SELECT max(value) AS max_value, min(value) AS min_value,
+       max(ts) AS last_seen, min(ts) AS first_seen
+FROM events
+"""
+
+
+# --- lag/lead window: inter-event gap (sessionization primitive) ---------------
+def q_event_gaps(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return events.select(
+        "user_id", "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_secs"),
+    )
+
+
+SQL_EVENT_GAPS = """
+SELECT user_id, event_id,
+       cast(floor(epoch(ts)) AS bigint) - cast(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) AS bigint) AS gap_secs
+FROM events
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "media_keys": (q_media_keys, SQL_MEDIA_KEYS),
+    "media_fetch_plan": (q_media_fetch_plan, SQL_MEDIA_FETCH_PLAN),
+    "string_processors": (q_string_processors, SQL_STRING_PROCESSORS),
+    "host_extract": (q_host_extract, SQL_HOST_EXTRACT),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "stats_max_min": (q_stats_max_min, SQL_STATS_MAX_MIN),
+    "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
+}

@@ -77,22 +77,39 @@ class SnapshotParquetFormat:
         )
         if not m or table not in m["tables"]:
             return None
-        return self.spark.read.parquet(m["tables"][table])
+        paths = m["tables"][table]
+        if isinstance(paths, str):  # pre-delta manifests
+            paths = [paths]
+        return self.spark.read.parquet(*paths)
 
     # -- write --------------------------------------------------------------
-    def commit(self, updates: dict[str, DataFrame], meta: dict | None = None) -> int:
-        """Write the given tables (full new contents) and advance CURRENT
-        atomically. Unchanged tables carry over from the parent manifest.
-        Appends are expressed by the caller as read().unionByName(new)."""
+    def commit(
+        self,
+        updates: dict[str, DataFrame] | None = None,
+        meta: dict | None = None,
+        appends: dict[str, DataFrame] | None = None,
+    ) -> int:
+        """Advance CURRENT atomically. `updates` replace a table's full
+        contents (one fresh data dir); `appends` add a delta data dir to
+        the table's existing file list — O(delta) work per round, the
+        Iceberg append shape (a 10^10-row seen table must never be
+        rewritten per round). Unchanged tables carry over."""
         parent = self.current_manifest() or {"tables": {}, "snapshot_id": -1}
         sid = parent["snapshot_id"] + 1
-        tables = dict(parent["tables"])
-        for name, df in updates.items():
-            path = os.path.join(
-                self.root, "data", name, f"{sid}-{uuid.uuid4().hex[:8]}"
-            )
+        tables: dict[str, list] = {
+            k: (v if isinstance(v, list) else [v]) for k, v in parent["tables"].items()
+        }
+
+        def _write(name: str, df: DataFrame) -> str:
+            path = os.path.join(self.root, "data", name, f"{sid}-{uuid.uuid4().hex[:8]}")
             df.write.mode("overwrite").parquet(path)
-            tables[name] = path
+            return path
+
+        for name, df in (updates or {}).items():
+            tables[name] = [_write(name, df)]
+        for name, df in (appends or {}).items():
+            tables.setdefault(name, [])
+            tables[name] = tables[name] + [_write(name, df)]
         manifest = {
             "snapshot_id": sid,
             "parent": parent["snapshot_id"],
@@ -109,9 +126,15 @@ class SnapshotParquetFormat:
         return sid
 
     def append(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
+        return self.commit(appends={table: df}, meta=meta)
+
+    def compact(self, table: str) -> int:
+        """Fold a table's delta list back into one data dir (maintenance,
+        run off the critical path — Iceberg rewrite_data_files)."""
         cur = self.read(table)
-        merged = cur.unionByName(df) if cur is not None else df
-        return self.commit({table: merged}, meta)
+        if cur is None:
+            return self.current_snapshot_id() or 0
+        return self.commit({table: cur}, meta=dict(self.meta()))
 
     def merge_upsert(self, table: str, df: DataFrame, key: str) -> int:
         """MERGE INTO emulation (SURVEY.md §7: anti-join + union + swap):

@@ -87,12 +87,11 @@ def enqueue_batch(fmt: SnapshotParquetFormat, batch: DataFrame, epoch_id: int) -
     new_seen = new_rows.select(
         "url_hash", "crawlid", F.col("enqueue_seq").alias("added_seq")
     )
-    updates = {
-        "frontier": new_rows if frontier is None else frontier.unionByName(new_rows),
-        "seen": new_seen if seen is None else seen.unionByName(new_seen),
-    }
     fmt.commit(
-        updates,
+        updates={
+            "frontier": new_rows if frontier is None else frontier.unionByName(new_rows)
+        },
+        appends={"seen": new_seen},
         meta={"round": int(meta.get("round", 0)), "next_seq": next_seq + n_new,
               "epoch": int(epoch_id)},
     )

@@ -1,0 +1,75 @@
+"""Raw-HTML link extraction (P1 over real HTML) and the
+content-addressed media pipeline (S15/S16)."""
+
+from pyspark.sql import functions as F
+
+from openslack_crawler_spark.functions.html import links_from_html
+from openslack_crawler_spark.operators import media as M
+
+HTML = """
+<html><body>
+  <a href="/rel/path">Relative</a>
+  <a href="http://other.example/x" rel="nofollow">NoFollow</a>
+  <area href="http://area.example/a">
+  <a>no href</a>
+  <p>not a link</p>
+</body></html>
+"""
+
+
+def test_links_from_html(spark):
+    df = spark.createDataFrame([( "http://base.example/dir/page", HTML)], ["url", "body"])
+    got = links_from_html(df).orderBy("anchor_offset").collect()
+    assert [(r.link_url, r.anchor_text, r.nofollow) for r in got] == [
+        ("http://base.example/rel/path", "Relative", False),
+        ("http://other.example/x", "NoFollow", True),
+        ("http://area.example/a", "", False),
+    ]
+    assert [r.anchor_offset for r in got] == [0, 1, 2]
+
+
+def _docs(spark):
+    spans = [
+        ("text", "t", "", 0),
+        ("image", "", "img-1", 1),
+        ("file", "", "file-2", 2),
+        ("image", "", "img-1", 3),  # duplicate ref → one fetch
+    ]
+    return spark.createDataFrame(
+        [("d1", "http://h/1", spans)],
+        "doc_id string, url string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+def test_media_candidates_and_key(spark):
+    cands = M.media_candidates(_docs(spark)).collect()
+    assert len(cands) == 3  # spans, pre-dedup
+    keys = {r.media_ref: r.media_key for r in cands}
+    assert len(keys["img-1"]) == 40  # sha1 hex of the media url
+
+
+def test_needs_fetch_freshness(spark):
+    cands = M.media_candidates(_docs(spark))
+    assert M.needs_fetch(cands, None).count() == 2  # deduped by key
+
+    fetched = M.fetch_media_stub(M.needs_fetch(cands, None), round_id=1)
+    rows = fetched.collect()
+    assert {r.content_type for r in rows} == {"image/fake", "application/fake"}
+    assert all(r.checksum and r.payload for r in rows)
+
+    # everything fresh → nothing to fetch
+    assert M.needs_fetch(cands, fetched).count() == 0
+    # stale store (old fetched_at) → fetch again
+    stale = fetched.withColumn("fetched_at", F.lit("2000-01-01").cast("timestamp"))
+    assert M.needs_fetch(cands, stale).count() == 2
+
+
+def test_thumbnails(spark):
+    cands = M.media_candidates(_docs(spark))
+    fetched = M.fetch_media_stub(M.needs_fetch(cands, None), round_id=1)
+    thumbs = M.thumbnail_stub(fetched).collect()
+    # one image key × two sizes
+    assert sorted((t.size_name, t.width) for t in thumbs) == [
+        ("big", 970), ("small", 270)
+    ]
