@@ -41,6 +41,12 @@ try:
     _REGISTRIES.append(queries_media.REGISTRY)
 except ImportError:
     pass
+try:
+    from openslack_crawler_spark import queries_coverage
+
+    _REGISTRIES.append(queries_coverage.REGISTRY)
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
