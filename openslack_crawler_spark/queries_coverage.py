@@ -12,6 +12,8 @@ from pyspark.sql import types as T
 
 
 def _t(spark, sf_dir, name):
+    # timestamp results must not depend on the caller's session TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -14,6 +14,8 @@ from .queries_textdedup import h60
 
 
 def _t(spark, sf_dir, name):
+    # timestamp results must not depend on the caller's session TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -23,6 +23,8 @@ STOPWORDS = ["the", "and", "of", "a", "to", "in"]
 
 
 def _t(spark, sf_dir, name):
+    # timestamp results must not depend on the caller's session TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -90,9 +92,11 @@ def q_minhash_signatures(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", words_col(F.col("text")).alias("w")
     )
+    # distinct before the 8x perm explode: min() over duplicate
+    # shingles is identical, the exploded volume is not
     sh = docs.select(
         "doc_id", F.explode(shingles_col(F.col("w"))).alias("sh")
-    )
+    ).distinct()
     perms = sh.select(
         "doc_id",
         "sh",
