@@ -36,6 +36,7 @@ class OracleRequest:
     maxdepth: int
     priority: int
     enqueue_seq: int
+    retry_times: int = 0
     score: float = field(init=False)
 
     def __post_init__(self):
@@ -56,11 +57,13 @@ class CrawlOracle:
     """Sequential crawl simulation. One instance = one crawl."""
 
     def __init__(self, robots: dict[str, dict], n_hosts: int, k_per_host: int,
-                 maxdepth: int):
+                 maxdepth: int, failure_mod: int = 0, retry_max: int = 3):
         self.robots = robots  # host -> {crawl_delay, max_parallel, disallow}
         self.n_hosts = n_hosts
         self.k = k_per_host
         self.maxdepth = maxdepth
+        self.failure_mod = failure_mod  # (page + retry*7919) % mod == 3 fails
+        self.retry_max = retry_max
         self.frontier: list[OracleRequest] = []
         self.seen: set[str] = set()
         self.next_seq = 0
@@ -111,9 +114,22 @@ class CrawlOracle:
             for i, r in enumerate(survivors):
                 fetched.append((r, (i // cap) * delay))
 
+        # fetch failure split (ST6): failed attempts consumed their
+        # politeness slot but are not crawled
+        def fails(r: OracleRequest) -> bool:
+            if not self.failure_mod:
+                return False
+            import re
+
+            p = int(re.search(r"/(\d+)$", r.url).group(1))
+            return (p + r.retry_times * 7919) % self.failure_mod == 3
+
+        failed = [r for r, _ in fetched if fails(r)]
+        ok = [(r, at) for r, at in fetched if not fails(r)]
+
         # deterministic fetch order: (fetch_at, score desc, seq)
-        fetched.sort(key=lambda t: (t[1], -t[0].score, t[0].enqueue_seq))
-        for r, at in fetched:
+        ok.sort(key=lambda t: (t[1], -t[0].score, t[0].enqueue_seq))
+        for r, at in ok:
             self.fetch_log.append(
                 {"round": round_id, "url": r.url, "fetch_at": at,
                  "score": r.score, "seq": r.enqueue_seq, "depth": r.depth}
@@ -122,7 +138,7 @@ class CrawlOracle:
 
         # expansion in pop order (score desc, seq asc), links in offset order
         expandable = sorted(
-            (r for r, _ in fetched if r.depth < r.maxdepth), key=pop_order
+            (r for r, _ in ok if r.depth < r.maxdepth), key=pop_order
         )
         for r in expandable:
             page_seen: set[str] = set()
@@ -143,6 +159,20 @@ class CrawlOracle:
                     )
                 )
                 self.next_seq += 1
+
+        # retry re-enqueue AFTER this round's children, in pop order of
+        # the failed originals: priority-10, retry+1 (redis_retry.py:9-22)
+        for r in sorted(failed, key=pop_order):
+            if r.retry_times >= self.retry_max:
+                continue
+            self.frontier.append(
+                OracleRequest(
+                    r.url, r.host, r.depth, r.maxdepth,
+                    r.priority - DEPTH_DECAY, self.next_seq,
+                    retry_times=r.retry_times + 1,
+                )
+            )
+            self.next_seq += 1
         return len(fetched)
 
     def run(self, rounds: int):

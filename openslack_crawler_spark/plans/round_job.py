@@ -66,6 +66,12 @@ class CrawlConfig:
     allowed_domains: list | None = None
     allow_regex: str | None = None
     deny_regex: str | None = None
+    # simulated fetch failures (ST6): a fetch of page p at retry r fails
+    # when (p + r*7919) % failure_mod == 3; 0 disables. Failed requests
+    # re-enqueue with priority-10, retry_times+1, dont_filter=True
+    # (redis_retry.py:9-22) until retry_max (RETRY_TIMES settings.py:166)
+    failure_mod: int = 0
+    retry_max: int = 3
 
 
 def spans_expr(url_col, n_hosts: int):
@@ -191,8 +197,20 @@ def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
         )
         return {"round": round_id, "fetched": 0, "enqueued": 0}
 
-    # 3. simulated fetch → spans
-    fetched = batch.withColumn("spans", spans_expr(F.col("url"), cfg.n_hosts))
+    # 3. simulated fetch → spans. Failed attempts (ST6) consumed their
+    # politeness slot but yield no document and no expansion; they
+    # re-enqueue below with decayed priority.
+    if cfg.failure_mod:
+        pid = synthetic.page_id_of(F.col("url"))
+        fail_cond = (
+            F.pmod(pid + F.col("retry_times") * 7919, F.lit(cfg.failure_mod)) == 3
+        )
+        failed = batch.filter(fail_cond)
+        ok = batch.filter(~fail_cond)
+    else:
+        failed = None
+        ok = batch
+    fetched = ok.withColumn("spans", spans_expr(F.col("url"), cfg.n_hosts))
 
     documents = fetched.select(
         F.concat(F.lit("doc-"), F.col("url_hash").cast("string")).alias("doc_id"),
@@ -263,6 +281,30 @@ def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
     new_rows = new_rows.localCheckpoint()
     n_enqueued = new_rows.count()
 
+    # 8b. retry re-enqueue (ST6/W3): failed fetches with budget left go
+    # back to the frontier with priority-10, retry_times+1,
+    # dont_filter=True — sequenced AFTER this round's children, in pop
+    # order (the parity oracle applies the same rule)
+    n_retries = 0
+    if failed is not None:
+        retry_rows = fr.decay_for_retry(
+            failed.filter(F.col("retry_times") < cfg.retry_max)
+        )
+        retry_rows = with_dense_seq(
+            retry_rows,
+            [F.col("score").desc(), F.col("enqueue_seq").asc()],
+            start=next_seq + n_enqueued,
+            col_name="_new_seq",
+        )
+        retry_rows = (
+            retry_rows.drop("enqueue_seq")
+            .withColumnRenamed("_new_seq", "enqueue_seq")
+            .select(*[c for c in frontier.columns])
+            .localCheckpoint()
+        )
+        n_retries = retry_rows.count()
+        new_rows = new_rows.unionByName(retry_rows)
+
     # 9. next frontier state + seen append + counters, one atomic commit
     remaining = fr.remove_dequeued(frontier, popped)
     next_frontier = remaining.unionByName(new_rows)
@@ -289,9 +331,14 @@ def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
     fmt.commit(
         updates,
         appends=appends,
-        meta={"round": round_id, "next_seq": int(next_seq + n_enqueued)},
+        meta={"round": round_id, "next_seq": int(next_seq + n_enqueued + n_retries)},
     )
-    return {"round": round_id, "fetched": n_fetched, "enqueued": n_enqueued}
+    return {
+        "round": round_id,
+        "fetched": n_fetched,
+        "enqueued": n_enqueued,
+        "retried": n_retries,
+    }
 
 
 def run_crawl(
@@ -309,10 +356,14 @@ def run_crawl(
     if not resume or fmt.current_snapshot_id() is None:
         bootstrap(fmt, seeds, robots, cfg)
     done_rounds = fmt.meta()["round"]
-    for _ in range(done_rounds, rounds):
+    for i in range(done_rounds, rounds):
         stats = run_round(fmt, cfg)
         if stats["fetched"] == 0:
             break
+        # fold the seen table's delta list periodically so reads don't
+        # accumulate unbounded file lists (Iceberg rewrite_data_files)
+        if (i + 1) % 16 == 0:
+            fmt.compact("seen")
     return fmt
 
 
