@@ -31,7 +31,11 @@ def with_dense_seq(
     ranged = df.repartitionByRange(n, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=False)  # pin partitioning for both passes
+    # EAGER checkpoint: range-partition boundaries come from sampling,
+    # so the counts pass and the rank pass MUST observe the same
+    # materialization (a lazily-cached plan could recompute with
+    # different boundaries after eviction → duplicate/missing seqs)
+    ranged = ranged.localCheckpoint(eager=True)
     counts = (
         ranged.groupBy("_pid").count().orderBy("_pid").collect()
     )
