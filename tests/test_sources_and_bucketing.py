@@ -1,0 +1,58 @@
+"""Multi-format source loaders + the bucketed (shuffle-free) seen join
+— the 'faster join strategy' for the 10^10-row seen table: bucketing
+both sides on url_hash removes the per-round Exchange entirely."""
+
+from pyspark.sql import functions as F
+
+from openslack_crawler_spark import synthetic
+from openslack_crawler_spark.sources.loaders import (
+    export_documents_jsonl,
+    load_seeds,
+)
+
+
+def test_seed_loaders_roundtrip(spark, tmp_path):
+    seeds = synthetic.gen_seeds(spark, 200, n_hosts=10)
+    want = {(r.url, r.priority, r.enqueue_seq) for r in seeds.collect()}
+    for fmt in ("parquet", "json", "csv", "orc"):
+        p = str(tmp_path / f"seeds_{fmt}")
+        getattr(
+            seeds.write.mode("overwrite").option("header", "true"), fmt
+        )(p)
+        got = load_seeds(spark, p, fmt)
+        assert got.schema["url"].dataType.typeName() == "string"
+        assert {(r.url, r.priority, r.enqueue_seq) for r in got.collect()} == want
+
+
+def test_documents_jsonl_export(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("d1", [("text", "x", "", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    p = str(tmp_path / "docs_json")
+    export_documents_jsonl(docs, p)
+    back = spark.read.json(p)
+    assert back.count() == 1 and "spans" in back.columns
+
+
+def test_bucketed_seen_join_is_shuffle_free(spark, tmp_path):
+    """bucketBy(url_hash) on both sides → the anti-join plan has NO
+    Exchange (storage-partitioned join; Iceberg bucket(N, url_hash)
+    gives the same on a cluster)."""
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    seen = spark.range(100000).select(F.xxhash64("id").alias("url_hash"))
+    cands = spark.range(50000, 150000).select(F.xxhash64("id").alias("url_hash"))
+    spark.sql("DROP TABLE IF EXISTS seen_b")
+    spark.sql("DROP TABLE IF EXISTS cands_b")
+    seen.write.bucketBy(8, "url_hash").sortBy("url_hash").mode("overwrite").saveAsTable("seen_b")
+    cands.write.bucketBy(8, "url_hash").sortBy("url_hash").mode("overwrite").saveAsTable("cands_b")
+    j = spark.table("cands_b").join(spark.table("seen_b"), "url_hash", "left_anti")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:800]
+    # and it is still exactly correct
+    expected = cands.join(seen, "url_hash", "left_anti").count()
+    assert j.count() == expected
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
