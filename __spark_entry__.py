@@ -5,6 +5,8 @@ queries()     — one entry per implemented operator (SURVEY.md §2 +
                 training-data ops), each (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent ANSI SQL per query (omitted only for
                 genuinely non-SQL-expressible ops → rows-only check).
+
+See COVERAGE.md for the operator-id → query map.
 """
 
 from __future__ import annotations
@@ -14,39 +16,25 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from openslack_crawler_spark import queries_relational
+from openslack_crawler_spark import (
+    queries_components,
+    queries_coverage,
+    queries_media,
+    queries_pipeline,
+    queries_relational,
+    queries_similarity,
+    queries_textdedup,
+)
 
-_REGISTRIES = [queries_relational.REGISTRY]
-try:  # built incrementally; keep entry importable while modules land
-    from openslack_crawler_spark import queries_textdedup
-
-    _REGISTRIES.append(queries_textdedup.REGISTRY)
-except ImportError:
-    pass
-try:
-    from openslack_crawler_spark import queries_similarity
-
-    _REGISTRIES.append(queries_similarity.REGISTRY)
-except ImportError:
-    pass
-try:
-    from openslack_crawler_spark import queries_pipeline
-
-    _REGISTRIES.append(queries_pipeline.REGISTRY)
-except ImportError:
-    pass
-try:
-    from openslack_crawler_spark import queries_media
-
-    _REGISTRIES.append(queries_media.REGISTRY)
-except ImportError:
-    pass
-try:
-    from openslack_crawler_spark import queries_coverage
-
-    _REGISTRIES.append(queries_coverage.REGISTRY)
-except ImportError:
-    pass
+_REGISTRIES = [
+    queries_relational.REGISTRY,
+    queries_textdedup.REGISTRY,
+    queries_similarity.REGISTRY,
+    queries_pipeline.REGISTRY,
+    queries_media.REGISTRY,
+    queries_coverage.REGISTRY,
+    queries_components.REGISTRY,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
