@@ -22,6 +22,7 @@ from openslack_crawler_spark import (
     queries_media,
     queries_pipeline,
     queries_relational,
+    queries_sessions,
     queries_similarity,
     queries_textdedup,
 )
@@ -34,6 +35,7 @@ _REGISTRIES = [
     queries_media.REGISTRY,
     queries_coverage.REGISTRY,
     queries_components.REGISTRY,
+    queries_sessions.REGISTRY,
 ]
 
 
