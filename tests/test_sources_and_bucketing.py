@@ -47,6 +47,14 @@ def test_bucketed_seen_join_is_shuffle_free(spark, tmp_path):
     cands = spark.range(50000, 150000).select(F.xxhash64("id").alias("url_hash"))
     spark.sql("DROP TABLE IF EXISTS seen_b")
     spark.sql("DROP TABLE IF EXISTS cands_b")
+    # a previous session's warehouse dirs survive the in-memory catalog;
+    # saveAsTable refuses existing locations it didn't create
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("seen_b", "cands_b"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     seen.write.bucketBy(8, "url_hash").sortBy("url_hash").mode("overwrite").saveAsTable("seen_b")
     cands.write.bucketBy(8, "url_hash").sortBy("url_hash").mode("overwrite").saveAsTable("cands_b")
     j = spark.table("cands_b").join(spark.table("seen_b"), "url_hash", "left_anti")
