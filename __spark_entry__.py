@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from openslack_crawler_spark import (
     queries_components,
     queries_coverage,
+    queries_ivf,
     queries_media,
     queries_pipeline,
     queries_relational,
@@ -36,6 +37,7 @@ _REGISTRIES = [
     queries_coverage.REGISTRY,
     queries_components.REGISTRY,
     queries_sessions.REGISTRY,
+    queries_ivf.REGISTRY,
 ]
 
 

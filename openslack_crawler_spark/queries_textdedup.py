@@ -138,6 +138,9 @@ def q_minhash_lsh_pairs(spark, sf_dir):
             ).alias("band_sig")
         )
     )
+    # materialize once: the self-join would otherwise recompute the
+    # whole shingle→minhash pipeline for BOTH sides
+    bands = bands.localCheckpoint()
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "band_sig"
     )
