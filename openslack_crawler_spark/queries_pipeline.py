@@ -78,7 +78,9 @@ def q_streaming_window_counts(spark, sf_dir):
             "n",
         )
     )
-    name = "stream_out_" + str(abs(hash(sf_dir)) % 100000)
+    import uuid
+
+    name = "stream_out_" + uuid.uuid4().hex[:10]  # unique per invocation
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
