@@ -398,3 +398,68 @@ REGISTRY: dict[str, tuple] = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
 }
+
+
+# --- Gopher-style quality filter rules ----------------------------------------
+def q_quality_gopher(spark, sf_dir):
+    """Rule-based quality gate (Gopher/C4-style heuristics): doc length
+    bounds, mean word length bounds, alphabetic-word ratio, stopword
+    floor — the keep/drop decision a training-data pipeline applies
+    before dedup. All ratios as floor-micro integers."""
+    docs = _t(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    n_words = F.size(w)
+    total_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wlen_micro = F.when(
+        n_words > 0, F.floor(total_chars * 1000000 / n_words)
+    ).otherwise(0)
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    alpha_ratio_micro = F.when(
+        n_words > 0, F.floor(alpha_words * 1000000 / n_words)
+    ).otherwise(0)
+    stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    keep = (
+        (n_words >= 10) & (n_words <= 1000)
+        & (mean_wlen_micro >= 3000000) & (mean_wlen_micro <= 10000000)
+        & (alpha_ratio_micro >= 800000)
+        & (stop >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen_micro.cast("long").alias("mean_word_len_micro"),
+        alpha_ratio_micro.cast("long").alias("alpha_ratio_micro"),
+        stop.alias("n_stopwords"),
+        keep.alias("keep"),
+    )
+
+
+SQL_QUALITY_GOPHER = f"""
+WITH words AS (
+  SELECT doc_id, {SQL_WORDS.format(t='text')} AS w FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CASE WHEN len(w) > 0
+              THEN floor(list_sum(list_transform(w, x -> length(x))) * 1000000 / len(w))
+              ELSE 0 END AS mean_word_len_micro,
+         CASE WHEN len(w) > 0
+              THEN floor(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1000000 / len(w))
+              ELSE 0 END AS alpha_ratio_micro,
+         len(list_filter(w, x -> x IN ({', '.join("'" + s + "'" for s in STOPWORDS)}))) AS n_stopwords
+  FROM words
+)
+SELECT doc_id, cast(n_words AS int) AS n_words,
+       cast(mean_word_len_micro AS bigint) AS mean_word_len_micro,
+       cast(alpha_ratio_micro AS bigint) AS alpha_ratio_micro,
+       cast(n_stopwords AS int) AS n_stopwords,
+       (n_words >= 10 AND n_words <= 1000
+        AND mean_word_len_micro >= 3000000 AND mean_word_len_micro <= 10000000
+        AND alpha_ratio_micro >= 800000
+        AND n_stopwords >= 2) AS keep
+FROM m
+"""
+
+REGISTRY["quality_gopher"] = (q_quality_gopher, SQL_QUALITY_GOPHER)

@@ -1,0 +1,54 @@
+"""robots.txt parsing → politeness table → enforced by the round's
+robots filter."""
+
+from openslack_crawler_spark.functions.robots import (
+    parse_robots_txt,
+    robots_table_from_payloads,
+)
+from openslack_crawler_spark.operators.politeness import robots_filter
+
+ROBOTS = """
+# comment
+User-agent: evilbot
+Disallow: /
+
+User-agent: *
+Crawl-delay: 2.5
+Disallow: /private
+Disallow: /tmp/
+Disallow:
+"""
+
+
+def test_parse_pure():
+    delay, disallow = parse_robots_txt(ROBOTS)
+    assert delay == 2.5
+    assert disallow == ["/private", "/tmp/"]
+    # specific agent group
+    delay_evil, dis_evil = parse_robots_txt(ROBOTS, agent="evilbot")
+    assert dis_evil == ["/"]
+    # empty/missing file → defaults
+    assert parse_robots_txt("") == (1.0, [])
+    assert parse_robots_txt("garbage without colons") == (1.0, [])
+
+
+def test_table_and_filter_integration(spark):
+    payloads = spark.createDataFrame(
+        [("h1.example", ROBOTS), ("h2.example", "")], ["host", "body"]
+    )
+    robots = robots_table_from_payloads(payloads)
+    rows = {r.host: r for r in robots.collect()}
+    assert rows["h1.example"].crawl_delay == 2.5
+    assert list(rows["h1.example"].disallow) == ["/private", "/tmp/"]
+    assert rows["h2.example"].disallow == []
+
+    batch = spark.createDataFrame(
+        [
+            ("http://h1.example/private/x", "h1.example"),
+            ("http://h1.example/ok", "h1.example"),
+            ("http://h2.example/private/y", "h2.example"),
+        ],
+        ["url", "host"],
+    )
+    kept = {r.url for r in robots_filter(batch, robots).collect()}
+    assert kept == {"http://h1.example/ok", "http://h2.example/private/y"}
