@@ -39,9 +39,12 @@ BENCH_QUERIES = [
     "terms_agg_stats",
     "merge_upsert",
     "minhash_lsh_pairs",
+    "dedup_components",
     "simhash",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "token_count",
+    "quality_gopher",
     "bloom_prefilter_dedup",
 ]
 
