@@ -409,7 +409,8 @@ def q_json_extract(spark, sf_dir):
 
 
 SQL_JSON_EXTRACT = """
-SELECT event_type, sum(cast(json_extract_string(props, '$.k') AS int)) AS sum_k,
+SELECT event_type,
+       cast(sum(cast(json_extract_string(props, '$.k') AS int)) AS bigint) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """

@@ -58,7 +58,7 @@ WITH gaps AS (
                                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM gaps
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, cast(session_id AS bigint) AS session_id, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
 FROM sess GROUP BY user_id, session_id

@@ -214,7 +214,7 @@ WITH words AS (
   SELECT doc_id, b, sum(contrib) AS s FROM bits GROUP BY doc_id, b
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN cast(pow(2, b) AS bigint) ELSE 0 END) AS simhash
+       cast(sum(CASE WHEN s > 0 THEN cast(pow(2, b) AS bigint) ELSE 0 END) AS bigint) AS simhash
 FROM bit_sums GROUP BY doc_id
 """
 
