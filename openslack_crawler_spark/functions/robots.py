@@ -36,6 +36,7 @@ def parse_robots_txt(text: str, agent: str = "*") -> tuple[float, list[str]]:
     given agent (falling back to the `*` group)."""
     groups: dict[str, dict] = {}
     current: list[str] = []
+    prev_was_ua = False  # consecutive User-agent lines form ONE group
     if text:
         for raw_line in text.splitlines():
             line = raw_line.split("#", 1)[0].strip()
@@ -44,14 +45,23 @@ def parse_robots_txt(text: str, agent: str = "*") -> tuple[float, list[str]]:
             key, _, val = line.partition(":")
             key, val = key.strip().lower(), val.strip()
             if key == "user-agent":
-                current = [val.lower()]
-                for a in current:
-                    groups.setdefault(a, {"disallow": [], "delay": None})
+                # robots exclusion convention (as scrapy/robotparser do):
+                # "User-agent: a\nUser-agent: *\nDisallow: /x" applies
+                # /x to BOTH a and * — start a new group only when a UA
+                # line follows rule lines
+                if prev_was_ua:
+                    current.append(val.lower())
+                else:
+                    current = [val.lower()]
+                groups.setdefault(val.lower(), {"disallow": [], "delay": None})
+                prev_was_ua = True
             elif key == "disallow" and current:
+                prev_was_ua = False
                 if val:
                     for a in current:
                         groups[a]["disallow"].append(val)
             elif key == "crawl-delay" and current:
+                prev_was_ua = False
                 try:
                     for a in current:
                         groups[a]["delay"] = float(val)

@@ -14,6 +14,18 @@ pmod(url_hash, num_blocks); each block is a numpy uint16 table of
 run vectorized per block inside grouped pandas stages; the probe is
 the same cogrouped co-located pass. Like the bloom, the cuckoo is only
 ever a PREFILTER — the exact anti-join stays the decider.
+
+Correctness contract (round-1 ADVICE hardening):
+- inserts are COUNTING (duplicate fingerprints occupy separate slots),
+  so deleting an expired item removes one copy and a live
+  fp/bucket-colliding item keeps its own copy — no delete-induced
+  false negatives.
+- an insert that exhausts MAX_KICKS loses a fingerprint; the block is
+  then marked `overflow=true` (sticky) and the probe reports EVERY
+  candidate in that block as maybe_seen — degrading that block to the
+  exact anti-join instead of risking a false negative.
+Net: no false negatives, ever; overflow only costs prefilter
+selectivity on the affected block.
 """
 
 from __future__ import annotations
@@ -56,15 +68,18 @@ class PartitionedCuckoo:
                       F.lit(self.num_blocks)).cast("int")
 
     # -- per-block kernels (pure numpy, sequential kicks) -------------------
-    def _insert_many(self, table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    def _insert_many(
+        self, table: np.ndarray, hashes: np.ndarray
+    ) -> tuple[np.ndarray, int]:
+        """Counting insert: duplicates take separate slots (so delete is
+        safe). Returns (table, n_lost) — n_lost > 0 means MAX_KICKS was
+        exhausted and a kicked-out fingerprint was dropped; the caller
+        must mark the block overflowed."""
         fps = _fingerprint(hashes)
         b1s = _bucket1(hashes, self.n_buckets)
+        n_lost = 0
         for fp, b1 in zip(fps, b1s):
-            if fp in table[b1]:
-                continue  # already present (idempotent insert)
             b2 = int(_alt_bucket(np.array([b1]), np.array([fp]), self.n_buckets)[0])
-            if fp in table[b2]:
-                continue
             placed = False
             for b in (b1, b2):
                 empty = np.where(table[b] == 0)[0]
@@ -74,7 +89,7 @@ class PartitionedCuckoo:
                     break
             if placed:
                 continue
-            # relocate: kick random-ish victim (deterministic slot 0)
+            # relocate: kick victim (deterministic slot 0)
             b, cur = int(b1), np.uint16(fp)
             for _ in range(MAX_KICKS):
                 victim = table[b, 0]
@@ -84,10 +99,14 @@ class PartitionedCuckoo:
                 empty = np.where(table[b] == 0)[0]
                 if len(empty):
                     table[b, empty[0]] = cur
+                    placed = True
                     break
-            else:  # table over-full — degrade safely: filter stays a
-                pass  # prefilter, a lost fingerprint only costs accuracy
-        return table
+            if not placed:
+                # `cur` (some item's fingerprint) was dropped — any item
+                # in this block may now be a false negative, so the
+                # block degrades to all-maybe via the overflow flag
+                n_lost += 1
+        return table, n_lost
 
     def _delete_many(self, table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
         fps = _fingerprint(hashes)
@@ -110,46 +129,61 @@ class PartitionedCuckoo:
         return hit1 | hit2
 
     # -- DataFrame surface ----------------------------------------------------
+    BLOCK_SCHEMA = "block_id int, table binary, overflow boolean"
+
     def build(self, seen: DataFrame) -> DataFrame:
         nb, sl = self.n_buckets, SLOTS
 
         def build_block(pdf: pd.DataFrame) -> pd.DataFrame:
             table = np.zeros((nb, sl), dtype=np.uint16)
-            table = self._insert_many(table, pdf["url_hash"].to_numpy(np.int64))
+            table, n_lost = self._insert_many(
+                table, pdf["url_hash"].to_numpy(np.int64)
+            )
             return pd.DataFrame(
                 {"block_id": [int(pdf["block_id"].iloc[0])],
-                 "table": [table.tobytes()]}
+                 "table": [table.tobytes()],
+                 "overflow": [n_lost > 0]}
             )
 
         return (
             seen.select("url_hash")
             .withColumn("block_id", self._block_id("url_hash"))
             .groupBy("block_id")
-            .applyInPandas(build_block, schema="block_id int, table binary")
+            .applyInPandas(build_block, schema=self.BLOCK_SCHEMA)
         )
 
     def _apply(self, blocks: DataFrame, hashes: DataFrame, op: str) -> DataFrame:
         nb, sl = self.n_buckets, SLOTS
-        kernel = self._insert_many if op == "insert" else self._delete_many
+        insert_kernel, delete_kernel = self._insert_many, self._delete_many
 
         def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if right.empty:
                 table = np.zeros((nb, sl), dtype=np.uint16)
                 bid = int(left["block_id"].iloc[0])
+                overflow = False
             else:
                 table = np.frombuffer(
                     right["table"].iloc[0], dtype=np.uint16
                 ).reshape(nb, sl).copy()
                 bid = int(right["block_id"].iloc[0])
+                overflow = bool(right["overflow"].iloc[0])  # sticky
             if not left.empty:
-                table = kernel(table, left["url_hash"].to_numpy(np.int64))
-            return pd.DataFrame({"block_id": [bid], "table": [table.tobytes()]})
+                h = left["url_hash"].to_numpy(np.int64)
+                if op == "insert":
+                    table, n_lost = insert_kernel(table, h)
+                    overflow = overflow or n_lost > 0
+                else:
+                    table = delete_kernel(table, h)
+            return pd.DataFrame(
+                {"block_id": [bid], "table": [table.tobytes()],
+                 "overflow": [overflow]}
+            )
 
         lc = hashes.select("url_hash").withColumn("block_id", self._block_id("url_hash"))
         return (
             lc.groupBy("block_id")
             .cogroup(blocks.groupBy("block_id"))
-            .applyInPandas(run, schema="block_id int, table binary")
+            .applyInPandas(run, schema=self.BLOCK_SCHEMA)
         )
 
     def insert(self, blocks: DataFrame, new: DataFrame) -> DataFrame:
@@ -175,6 +209,10 @@ class PartitionedCuckoo:
                 return pd.DataFrame(columns=cols + ["maybe_seen"])
             if right.empty:
                 maybe = np.zeros(len(left), dtype=bool)
+            elif bool(right["overflow"].iloc[0]):
+                # a fingerprint was lost in this block — every candidate
+                # must go through the exact join (no false negatives)
+                maybe = np.ones(len(left), dtype=bool)
             else:
                 table = np.frombuffer(
                     right["table"].iloc[0], dtype=np.uint16

@@ -80,6 +80,31 @@ def apply_enqueue_filters(
     return out
 
 
+def mark_enqueue_filters(
+    cands: DataFrame,
+    blacklist: DataFrame | None = None,
+    now_expr=None,
+    flag_col: str = "_enqueue_ok",
+) -> DataFrame:
+    """Same predicates as apply_enqueue_filters but marking instead of
+    filtering: adds `flag_col` boolean. Lets the caller keep dropped
+    fingerprints (they still enter the seen set, with NULL added_seq)
+    while accepted rows carry their assigned enqueue_seq."""
+    now_expr = now_expr if now_expr is not None else F.current_timestamp()
+    ok = (F.col("depth") <= F.col("maxdepth")) & (
+        F.col("expires").isNull() | (now_expr < F.col("expires"))
+    )
+    if blacklist is not None:
+        bl = F.broadcast(
+            blacklist.select("appid", "crawlid").distinct()
+            .withColumn("_blacklisted", F.lit(True))
+        )
+        cands = cands.join(bl, ["appid", "crawlid"], "left")
+        ok = ok & F.col("_blacklisted").isNull()
+        return cands.withColumn(flag_col, ok).drop("_blacklisted")
+    return cands.withColumn(flag_col, ok)
+
+
 def with_salt(df: DataFrame, buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
     """Hot-host salt bucket: deterministic pmod(url_hash, buckets)."""
     return df.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(buckets)).cast("int"))

@@ -61,7 +61,11 @@ def first_per_page(links: DataFrame) -> DataFrame:
         .agg(
             F.min("anchor_offset").alias("anchor_offset"),
             *[
-                F.first(c).alias(c)
+                # min_by ties carried columns to the first occurrence by
+                # offset — F.first() without ordering is pick-any and
+                # becomes a parity flake if a non-constant column (e.g.
+                # anchor text) is ever carried
+                F.min_by(c, F.col("anchor_offset")).alias(c)
                 for c in links.columns
                 if c not in ("doc_id", "link_url", "anchor_offset")
             ],

@@ -269,8 +269,10 @@ def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
     fingerprinted = fingerprinted.localCheckpoint()
 
     # 7. enqueue filters (blacklist, expiry) — reference order, applied
-    # AFTER fingerprinting; dropped rows stay in the seen set
-    accepted = fr.apply_enqueue_filters(fingerprinted, blacklist)
+    # AFTER fingerprinting; dropped rows stay in the seen set (marked,
+    # not filtered, so their fingerprints keep a NULL added_seq below)
+    flagged = fr.mark_enqueue_filters(fingerprinted, blacklist)
+    accepted = flagged.filter(F.col("_enqueue_ok")).drop("_enqueue_ok")
 
     # 8. dense enqueue_seq continuing the global sequence
     accepted = with_dense_seq(
@@ -280,6 +282,15 @@ def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
     new_rows = accepted.select(*[c for c in frontier.columns])
     new_rows = new_rows.localCheckpoint()
     n_enqueued = new_rows.count()
+    # accepted fingerprints carry their enqueue_seq into the seen table
+    # (added_seq powers fingerprint-TTL expiry / the deletable cuckoo
+    # path); blacklist/expiry-dropped fingerprints keep NULL
+    accepted_seen = new_rows.select(
+        "url_hash", "crawlid", F.col("enqueue_seq").alias("added_seq")
+    )
+    dropped_seen = flagged.filter(~F.col("_enqueue_ok")).select(
+        "url_hash", "crawlid", F.lit(None).cast("long").alias("added_seq")
+    )
 
     # 8b. retry re-enqueue (ST6/W3): failed fetches with budget left go
     # back to the frontier with priority-10, retry_times+1,
@@ -310,9 +321,7 @@ def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
     next_frontier = remaining.unionByName(new_rows)
     # seen gets EVERY fingerprinted candidate (incl. blacklist/expiry
     # drops), not just frontier appends — dupefilter.py check-and-insert
-    new_seen = fingerprinted.select(
-        "url_hash", "crawlid", F.lit(None).cast("long").alias("added_seq")
-    )
+    new_seen = accepted_seen.unionByName(dropped_seen)
     counters = _partition_counts(batch, "scheduler/dequeued", round_id).unionByName(
         _partition_counts(new_rows, "scheduler/enqueued", round_id)
     )

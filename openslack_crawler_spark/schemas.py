@@ -37,6 +37,13 @@ FRONTIER_SCHEMA = T.StructType(
 )
 
 # --- seen: the URL-seen set (dupefilter.py:39-44 → 64-bit hash table) ------
+# added_seq semantics: the enqueue_seq the fingerprint entered the
+# frontier with (bootstrap, streaming ingest, and round commits all
+# populate it); NULL only for fingerprints whose candidate was dropped
+# by the blacklist/expiry/depth enqueue filters (they enter the seen
+# set per check-and-insert but never got a frontier row). added_seq
+# orders fingerprint-TTL expiry (queries_sessions.seen_ttl_expiry, the
+# deletable-cuckoo motivation).
 SEEN_SCHEMA = T.StructType(
     [
         T.StructField("url_hash", T.LongType(), False),

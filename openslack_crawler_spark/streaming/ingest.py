@@ -64,18 +64,27 @@ def enqueue_batch(fmt: SnapshotParquetFormat, batch: DataFrame, epoch_id: int) -
         .withColumn("dont_filter", F.lit(False))
         .withColumn("score", fr.score_expr())
     )
-    # deterministic intra-batch seq by (appid, url) — kafka offsets
-    # would supply this on a real topic
+    # deterministic intra-batch arrival order by (appid, url) — kafka
+    # offsets would supply this on a real topic. The final enqueue_seq is
+    # assigned only AFTER dedup + seen anti-join (as round_job step 8
+    # does): assigning it first and advancing next_seq by the kept count
+    # would let kept rows hold seqs >= the new next_seq, so a later
+    # micro-batch would reuse them and break the dense/monotone seq
+    # contract the pop tiebreak relies on.
     from ..operators.sequence import with_dense_seq
 
     cands = with_dense_seq(
-        cands, [F.col("appid").asc(), F.col("url").asc()], start=next_seq,
-        col_name="enqueue_seq",
+        cands, [F.col("appid").asc(), F.col("url").asc()], start=0,
+        col_name="_arrival_rank",
     )
-    cands = first_wins_dedup(cands, "enqueue_seq")
+    cands = first_wins_dedup(cands, "_arrival_rank")
     seen = fmt.read("seen")
     if seen is not None:
         cands = filter_unseen(cands, seen)
+    cands = with_dense_seq(
+        cands, [F.col("_arrival_rank").asc()], start=next_seq,
+        col_name="enqueue_seq",
+    ).drop("_arrival_rank")
     cands = fr.with_salt(cands)
     frontier = fmt.read("frontier")
     new_rows = cands.select(

@@ -41,6 +41,36 @@ def test_incremental_insert(spark):
     assert probed.filter(~F.col("maybe_seen")).count() == 0
 
 
+def test_delete_keeps_colliding_live_item(spark):
+    """Counting-slot semantics: two distinct hashes sharing (fingerprint,
+    bucket) are stored as two copies; deleting one must NOT make the
+    other probe unseen (round-1 ADVICE: idempotent inserts + delete gave
+    false negatives)."""
+    cf = PartitionedCuckoo(num_blocks=8, n_buckets=1 << 12)
+    # same residue mod n_buckets and same top-16 bits (fp both → 1):
+    h1, h2 = 12345, 12345 + (1 << 12)
+    pair = spark.createDataFrame([(h1,), (h2,)], "url_hash long")
+    blocks = cf.build(pair)
+    blocks = cf.delete(blocks, spark.createDataFrame([(h1,)], "url_hash long"))
+    live = _cands(spark.createDataFrame([(h2,)], "url_hash long"))
+    assert cf.probe(live, blocks).filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_overflow_block_degrades_to_all_maybe(spark):
+    """Insert overflow (MAX_KICKS exhausted) loses a fingerprint; the
+    block must flag overflow and probe everything as maybe_seen so the
+    exact anti-join decides — never a false negative."""
+    cf = PartitionedCuckoo(num_blocks=1, n_buckets=4)  # 16-slot capacity
+    blocks = cf.build(_hashes(spark, 0, 500))
+    assert blocks.filter(F.col("overflow")).count() == 1
+    # seen hashes: all maybe (trivially no false negatives)
+    seen_probe = cf.probe(_cands(_hashes(spark, 0, 500)), blocks)
+    assert seen_probe.filter(~F.col("maybe_seen")).count() == 0
+    # even fresh hashes are maybe in an overflowed block (degrade safely)
+    fresh_probe = cf.probe(_cands(_hashes(spark, 9000, 9100)), blocks)
+    assert fresh_probe.filter(~F.col("maybe_seen")).count() == 0
+
+
 def test_delete_makes_urls_fresh_again(spark):
     """TTL expiry: deleted fingerprints probe as unseen; undeleted stay."""
     cf = PartitionedCuckoo(num_blocks=8, n_buckets=1 << 12)

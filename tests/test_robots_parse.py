@@ -32,6 +32,26 @@ def test_parse_pure():
     assert parse_robots_txt("garbage without colons") == (1.0, [])
 
 
+def test_consecutive_user_agent_lines_share_one_group():
+    """Robots exclusion convention (scrapy/robotparser): consecutive
+    User-agent lines form ONE group and the following rules apply to
+    every listed agent (round-1 ADVICE fix)."""
+    txt = """
+User-agent: a
+User-agent: *
+Disallow: /x
+Crawl-delay: 3
+
+User-agent: b
+Disallow: /y
+"""
+    assert parse_robots_txt(txt, agent="a") == (3.0, ["/x"])
+    assert parse_robots_txt(txt, agent="*") == (3.0, ["/x"])
+    assert parse_robots_txt(txt, agent="b") == (1.0, ["/y"])  # own group, default delay
+    # a UA line AFTER rules starts a NEW group (b is not in the first)
+    assert parse_robots_txt(txt, agent="c") == (3.0, ["/x"])  # falls back to *
+
+
 def test_table_and_filter_integration(spark):
     payloads = spark.createDataFrame(
         [("h1.example", ROBOTS), ("h2.example", "")], ["host", "body"]

@@ -35,6 +35,25 @@ def test_documents_jsonl_export(spark, tmp_path):
     assert back.count() == 1 and "spans" in back.columns
 
 
+def test_table_format_seam_signature_parity():
+    """IcebergFormat must expose the exact SnapshotParquetFormat surface
+    run_crawl/run_round depend on (commit with appends=, compact, read
+    with snapshot_id, merge_upsert, ...) — the cluster path must not
+    TypeError at the round-16 compaction (ADVICE round 1)."""
+    import inspect
+
+    from openslack_crawler_spark.sources.iceberg_format import IcebergFormat
+    from openslack_crawler_spark.sources.table_format import SnapshotParquetFormat
+
+    for name in (
+        "commit", "append", "compact", "merge_upsert", "read", "meta",
+        "current_snapshot_id", "current_manifest", "destroy",
+    ):
+        twin = getattr(SnapshotParquetFormat, name)
+        ice = getattr(IcebergFormat, name)
+        assert inspect.signature(twin) == inspect.signature(ice), name
+
+
 def test_bucketed_seen_join_is_shuffle_free(spark, tmp_path):
     """bucketBy(url_hash) on both sides → the anti-join plan has NO
     Exchange (storage-partitioned join; Iceberg bucket(N, url_hash)

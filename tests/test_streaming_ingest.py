@@ -38,3 +38,45 @@ def test_file_ingest_enqueues_and_dedups(spark, tmp_path):
     q2 = start_file_ingest(spark, fmt, str(incoming))
     q2.awaitTermination(120)
     assert fmt.read("frontier").count() == 2
+
+
+def test_ingest_seq_dense_and_unique_across_batches(spark, tmp_path):
+    """enqueue_seq must stay dense and unique even when a batch loses
+    rows to dedup/seen-filter: seqs are assigned AFTER filtering, so
+    next_seq never hands out a value a kept row already holds (round-1
+    ADVICE: pre-filter assignment let later batches reuse seqs)."""
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    # batch 1: 3 candidates, 1 intra-batch dupe → 2 kept
+    _write_requests(
+        incoming,
+        [
+            {"url": "http://h0.example/1", "appid": "app"},
+            {"url": "http://h0.example/2", "appid": "app"},
+            {"url": "http://H0.EXAMPLE/2", "appid": "app"},  # dupe
+        ],
+        "b1.json",
+    )
+    fmt = SnapshotParquetFormat(str(tmp_path / "store"), spark)
+    q = start_file_ingest(spark, fmt, str(incoming))
+    q.awaitTermination(120)
+    assert fmt.meta()["next_seq"] == 2
+
+    # batch 2: 1 seen + 2 new → seqs must continue 2,3 with no overlap
+    _write_requests(
+        incoming,
+        [
+            {"url": "http://h0.example/1", "appid": "app"},  # seen
+            {"url": "http://h1.example/1", "appid": "app"},
+            {"url": "http://h1.example/2", "appid": "app"},
+        ],
+        "b2.json",
+    )
+    q2 = start_file_ingest(spark, fmt, str(incoming))
+    q2.awaitTermination(120)
+    seqs = sorted(r.enqueue_seq for r in fmt.read("frontier").collect())
+    assert seqs == [0, 1, 2, 3]  # dense, monotone, no duplicates
+    assert fmt.meta()["next_seq"] == 4
+    # seen rows carry the enqueue_seq they entered with (added_seq)
+    added = {r.added_seq for r in fmt.read("seen").collect()}
+    assert added == {0, 1, 2, 3}
