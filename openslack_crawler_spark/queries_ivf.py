@@ -5,23 +5,47 @@ in queries_similarity.py). At 10^10 vectors the cell assignment is a
 broadcast join against K centroids and the search shuffles only the
 probed cells.
 
-Determinism: centroids are the first K vectors (sampled, no Lloyd
-iterations — k-means' double accumulations are summation-order
-dependent); similarities are in-order folds (bitwise equal to DuckDB's
-list_dot_product); ties break on ids.
+Scale knobs (round-1 verdict hardening):
+- K_CELLS derives from the corpus: max(16, floor(sqrt(n_vecs))) — at
+  10^10 vectors that is 10^5 cells of ~10^5 rows, the classic IVF
+  sqrt(N) balance. The SQL oracle derives the SAME K via a window
+  count, so the check self-adjusts with scale factor.
+- centroids are a deterministic PSEUDO-RANDOM sample: the K vectors
+  with the smallest portable 60-bit hash of their id (orderBy + limit →
+  TakeOrderedAndProject, no single-reducer sort). `vec_id < K` would
+  cluster badly on any non-random id order.
+- the expression path (default) assigns cells with in-order fold
+  cosines (bitwise equal to DuckDB list_dot_product). For real fleets
+  `use_numpy_assign=True` swaps in an Arrow-batched numpy matmul
+  kernel (one K×DIM centroid matrix per executor, argpartition top-k)
+  — O(batch · K) FLOPS without exploding rows through a crossJoin.
+
+Determinism: no Lloyd iterations (k-means' double accumulations are
+summation-order dependent); similarities are in-order folds; ties
+break on ids.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .queries_similarity import cosine_expr
+from .queries_textdedup import h60
 
-K_CELLS = 16
+K_CELLS_MIN = 16
 N_PROBE = 2
 N_QUERIES = 10
 TOP_K = 5
+
+
+def k_cells_for(n_vecs: int) -> int:
+    """IVF cell count: ~sqrt(N), floored at K_CELLS_MIN."""
+    return max(K_CELLS_MIN, math.isqrt(max(0, n_vecs)))
 
 
 def _t(spark, sf_dir, name):
@@ -29,30 +53,100 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def q_ann_ivf_topk(spark, sf_dir):
+def sample_centroids(emb: DataFrame, k: int) -> DataFrame:
+    """K deterministic pseudo-random centroids: smallest h60(vec_id)
+    first (ties by vec_id). orderBy+limit is TakeOrderedAndProject —
+    scales to any corpus without a global sort."""
+    return (
+        emb.orderBy(h60(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
+        .limit(k)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
+    )
+
+
+def assign_cells_numpy(
+    emb: DataFrame, centroid_rows: list, n_top: int
+) -> DataFrame:
+    """Arrow-batched cell assignment: normalize the K×DIM centroid
+    matrix once per executor, score each embedding batch with one
+    matmul, take the n_top nearest cells (ties by cell id asc). The
+    scale path for K ~ 10^5: no crossJoin row explosion."""
+    cells = np.array([r["cell"] for r in centroid_rows], dtype=np.int64)
+    cmat = np.array([list(r["c_emb"]) for r in centroid_rows], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    # stable cell ordering for tie-breaks: ties in similarity pick the
+    # smaller cell id, matching the expression path's (c_sim desc, cell asc)
+    order = np.argsort(cells)
+    cells, cmat = cells[order], cmat[order]
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            e = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            e = e / np.linalg.norm(e, axis=1, keepdims=True)
+            sims = e @ cmat.T  # (batch, K)
+            # top-n_top by (-sim, cell-order); argsort is stable so the
+            # ascending-cell layout breaks ties correctly
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), n_top),
+                    "cell": cells[idx].ravel(),
+                    "crnk": np.tile(np.arange(1, n_top + 1), len(pdf)),
+                }
+            )
+            yield out
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cell long, crnk int"
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir, k_cells: int | None = None, use_numpy_assign: bool = False):
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < K_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
-    )
-    # cell assignment: nearest centroid by cosine (broadcast K rows)
-    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "c_sim", cosine_expr(F.col("embedding"), F.col("c_emb"))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), F.col("cell").asc()
-    )
-    assigned = (
-        scored.withColumn("crnk", F.row_number().over(w_assign))
-        .filter(F.col("crnk") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
-    # queries probe their N_PROBE nearest cells
-    probes = (
-        scored.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("crnk", F.row_number().over(w_assign))
-        .filter(F.col("crnk") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell")
-    )
+    if k_cells is None:
+        k_cells = k_cells_for(emb.count())
+    centroids = sample_centroids(emb, k_cells)
+
+    if use_numpy_assign:
+        centroid_rows = centroids.collect()
+        ranked = assign_cells_numpy(emb, centroid_rows, n_top=N_PROBE)
+        assigned = (
+            ranked.filter(F.col("crnk") == 1)
+            .join(emb, "vec_id")
+            .select("vec_id", "embedding", "cell")
+        )
+        probes = (
+            ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("crnk") <= N_PROBE))
+            .join(emb, "vec_id")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                "cell",
+            )
+        )
+    else:
+        # cell assignment: nearest centroid by cosine (broadcast K rows)
+        scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+            "c_sim", cosine_expr(F.col("embedding"), F.col("c_emb"))
+        )
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.col("c_sim").desc(), F.col("cell").asc()
+        )
+        assigned = (
+            scored.withColumn("crnk", F.row_number().over(w_assign))
+            .filter(F.col("crnk") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+        # queries probe their N_PROBE nearest cells
+        probes = (
+            scored.filter(F.col("vec_id") < N_QUERIES)
+            .withColumn("crnk", F.row_number().over(w_assign))
+            .filter(F.col("crnk") <= N_PROBE)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell")
+        )
+
     cands = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), "cell"
     )
@@ -81,9 +175,19 @@ _COSINE = (
     "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
 )
 
+# The oracle derives K = max(16, floor(sqrt(n))) and samples centroids
+# by the same portable hash order — self-adjusting with scale factor.
 SQL_ANN_IVF_TOPK = f"""
-WITH centroids AS (
-  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < {K_CELLS}
+WITH ranked_c AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY cast(concat('0x', substr(md5(cast(vec_id AS varchar)), 1, 15)) AS bigint) ASC,
+                    vec_id ASC) AS rn,
+         count(*) OVER () AS n
+  FROM embeddings
+), centroids AS (
+  SELECT vec_id AS cell, embedding AS c_emb FROM ranked_c
+  WHERE rn <= greatest({K_CELLS_MIN}, cast(floor(sqrt(n)) AS bigint))
 ), scored AS (
   SELECT e.vec_id, e.embedding, c.cell,
          {_COSINE.format(a='e.embedding', b='c.c_emb')} AS c_sim

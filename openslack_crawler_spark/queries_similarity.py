@@ -19,6 +19,8 @@ picks SMJ/broadcast per AQE stats).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -26,8 +28,26 @@ from .queries_textdedup import h60
 
 N_QUERIES = 10
 TOP_K = 5
-N_PLANES = 4
+N_PLANES = 4  # the MINIMUM; live plane count derives from corpus size
 DIM = 64
+
+# --- scale knobs (round-1 verdict: constants must grow with the corpus) ---
+# Target rows per LSH bucket. Plane count is derived so that
+# 2^planes ≈ n_vecs / TARGET_BUCKET — at 10^10 vectors that is ~23
+# planes (8.4M buckets of ~2k rows), keeping the within-bucket join
+# O(n · TARGET_BUCKET) instead of O(n²/2^4). The sandbox SFs (≤ 32,768
+# vectors) all derive the clamped minimum of 4 planes, which keeps the
+# static SQL oracles (written for 4 planes) exact at sf0.001-0.1.
+TARGET_BUCKET = 2048
+MAX_PLANES = 62  # bucket id is a bigint bitmask of plane signs
+
+
+def n_planes_for(n_vecs: int, target_bucket: int = TARGET_BUCKET) -> int:
+    """Derive the signed-random-projection plane count from corpus size:
+    max(N_PLANES, ceil(log2(n/target))) capped at MAX_PLANES."""
+    if n_vecs <= target_bucket:
+        return N_PLANES
+    return min(MAX_PLANES, max(N_PLANES, math.ceil(math.log2(n_vecs / target_bucket))))
 
 
 def _t(spark, sf_dir, name):
@@ -98,15 +118,21 @@ FROM ranked WHERE rnk <= {TOP_K}
 
 
 # --- LSH bucket assignment (signed random projection) --------------------------
-def q_lsh_buckets(spark, sf_dir):
+def q_lsh_buckets(spark, sf_dir, n_planes: int | None = None):
+    """n_planes=None derives the plane count from the corpus size
+    (n_planes_for); pass it explicitly to pin a configuration. At the
+    sandbox SFs the derived value equals the clamped minimum (4), which
+    is what the static SQL oracle encodes."""
     emb = _t(spark, sf_dir, "embeddings")
+    if n_planes is None:
+        n_planes = n_planes_for(emb.count())
     # integerized embedding: floor(x * 1000) — exact in both engines
     iv = emb.select(
         "vec_id",
         F.posexplode(F.transform("embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long"))).alias("i", "x"),
     )
     planes = (
-        iv.select("vec_id", "i", "x", F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j"))
+        iv.select("vec_id", "i", "x", F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j"))
         .withColumn(
             "g",
             F.pmod(
@@ -145,9 +171,9 @@ FROM proj GROUP BY vec_id
 
 
 # --- LSH-bucketed ANN: rank only within bucket ---------------------------------
-def q_ann_lsh_topk(spark, sf_dir):
+def q_ann_lsh_topk(spark, sf_dir, n_planes: int | None = None):
     emb = _t(spark, sf_dir, "embeddings")
-    buckets = q_lsh_buckets(spark, sf_dir)
+    buckets = q_lsh_buckets(spark, sf_dir, n_planes=n_planes)
     be = emb.join(buckets, "vec_id")
     queries = be.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -214,9 +240,9 @@ FROM ranked WHERE rnk <= {TOP_K}
 
 
 # --- embedding near-dup pairs (cosine above threshold) --------------------------
-def q_embedding_neardup_pairs(spark, sf_dir):
+def q_embedding_neardup_pairs(spark, sf_dir, n_planes: int | None = None):
     emb = _t(spark, sf_dir, "embeddings")
-    buckets = q_lsh_buckets(spark, sf_dir)
+    buckets = q_lsh_buckets(spark, sf_dir, n_planes=n_planes)
     be = emb.join(buckets, "vec_id")
     a = be.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
     b = be.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
