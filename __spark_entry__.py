@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from openslack_crawler_spark import (
     queries_components,
     queries_coverage,
+    queries_fulltext,
     queries_ivf,
     queries_media,
     queries_pipeline,
@@ -38,6 +39,7 @@ _REGISTRIES = [
     queries_components.REGISTRY,
     queries_sessions.REGISTRY,
     queries_ivf.REGISTRY,
+    queries_fulltext.REGISTRY,
 ]
 
 

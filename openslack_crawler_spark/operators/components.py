@@ -17,23 +17,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ckpt(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Cut lineage: reliable `checkpoint()` into checkpoint_dir when
+    given (survives executor loss — required for long iterative jobs on
+    a real cluster, where localCheckpoint data dies with an executor),
+    else in-memory localCheckpoint (the fast single-node path)."""
+    if checkpoint_dir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges(src, dst) undirected → (node, component) where component =
-    min node id reachable. Pure DataFrame ops; one shuffle per round."""
+    min node id reachable. Pure DataFrame ops; one shuffle per round.
+    Pass checkpoint_dir on a cluster so per-round lineage cuts survive
+    executor death (localCheckpoint loses blocks with the executor and
+    would force a full recompute of the iteration chain)."""
     sym = edges.selectExpr(f"{src} as a", f"{dst} as b").union(
         edges.selectExpr(f"{dst} as a", f"{src} as b")
     )
-    sym = sym.distinct().localCheckpoint()
-    labels = (
+    sym = _ckpt(sym.distinct(), checkpoint_dir)
+    labels = _ckpt(
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .withColumn("component", F.col("node")),
+        checkpoint_dir,
     )
     for _ in range(max_iter):
         # candidate labels arriving over edges
@@ -41,12 +58,12 @@ def connected_components(
             sym.join(labels, sym.b == labels.node)
             .select(F.col("a").alias("node"), "component")
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.select("node", "component")
             .unionByName(incoming)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .agg(F.min("component").alias("component")),
+            checkpoint_dir,
         )
         changed = (
             new_labels.alias("n")

@@ -25,8 +25,11 @@ def with_dense_seq(
     start: int = 0,
     col_name: str = "seq",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Assign col_name = start + (0-based global rank by order_cols)."""
+    """Assign col_name = start + (0-based global rank by order_cols).
+    checkpoint_dir switches the mandatory lineage cut to a reliable
+    checkpoint (cluster path: survives executor loss)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
@@ -35,7 +38,12 @@ def with_dense_seq(
     # so the counts pass and the rank pass MUST observe the same
     # materialization (a lazily-cached plan could recompute with
     # different boundaries after eviction → duplicate/missing seqs)
-    ranged = ranged.localCheckpoint(eager=True)
+    if checkpoint_dir:
+        from .components import _ckpt  # noqa: PLC0415
+
+        ranged = _ckpt(ranged, checkpoint_dir)
+    else:
+        ranged = ranged.localCheckpoint(eager=True)
     counts = (
         ranged.groupBy("_pid").count().orderBy("_pid").collect()
     )

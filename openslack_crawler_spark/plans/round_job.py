@@ -41,6 +41,7 @@ from ..operators.linkextract import (
     first_per_page,
     links_to_candidates,
 )
+from ..operators.components import _ckpt
 from ..operators.seen_filter import PartitionedBloom, filter_unseen, first_wins_dedup
 from ..operators.sequence import with_dense_seq
 from ..sources.table_format import SnapshotParquetFormat
@@ -72,6 +73,10 @@ class CrawlConfig:
     # (redis_retry.py:9-22) until retry_max (RETRY_TIMES settings.py:166)
     failure_mod: int = 0
     retry_max: int = 3
+    # reliable checkpoint dir for mid-round lineage cuts (cluster path:
+    # localCheckpoint blocks die with their executor; an HDFS/S3 dir
+    # here makes every cut survive executor loss). None = in-memory.
+    checkpoint_dir: str | None = None
 
 
 def spans_expr(url_col, n_hosts: int):
@@ -182,11 +187,11 @@ def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
     # then discards (a robots-dropped request is consumed, not requeued:
     # scrapy RobotsTxtMiddleware semantics, settings.py:138)
     popped = fr.dequeue_top_k_per_host(frontier, cfg.k_per_host, salted=True)
-    popped = popped.localCheckpoint()
+    popped = _ckpt(popped, cfg.checkpoint_dir)
     # 2. robots + politeness virtual-clock slots
     batch = po.robots_filter(popped, robots)
     batch = po.assign_fetch_slots(batch, robots, round_start=F.lit(0.0))
-    batch = batch.localCheckpoint()  # cut lineage; batch reused 4×
+    batch = _ckpt(batch, cfg.checkpoint_dir)  # cut lineage; batch reused 4×
 
     n_fetched = batch.count()
     if n_fetched == 0:
@@ -259,14 +264,17 @@ def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
         F.col("parent_seq").asc(),
         F.col("anchor_offset").asc(),
     ]
-    cands = with_dense_seq(cands, pop_order, start=0, col_name="_cand_rank")
+    cands = with_dense_seq(
+        cands, pop_order, start=0, col_name="_cand_rank",
+        checkpoint_dir=cfg.checkpoint_dir,
+    )
     cands = first_wins_dedup(cands, "_cand_rank")
     if cfg.use_bloom and fmt.read("bloom") is not None:
         bloom = PartitionedBloom()
         fingerprinted = bloom.prefiltered_unseen(cands, seen, fmt.read("bloom"))
     else:
         fingerprinted = filter_unseen(cands, seen)
-    fingerprinted = fingerprinted.localCheckpoint()
+    fingerprinted = _ckpt(fingerprinted, cfg.checkpoint_dir)
 
     # 7. enqueue filters (blacklist, expiry) — reference order, applied
     # AFTER fingerprinting; dropped rows stay in the seen set (marked,
@@ -276,11 +284,12 @@ def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
 
     # 8. dense enqueue_seq continuing the global sequence
     accepted = with_dense_seq(
-        accepted, [F.col("_cand_rank").asc()], start=next_seq, col_name="enqueue_seq"
+        accepted, [F.col("_cand_rank").asc()], start=next_seq, col_name="enqueue_seq",
+        checkpoint_dir=cfg.checkpoint_dir,
     ).drop("_cand_rank", "parent_score", "parent_seq", "anchor_offset")
     accepted = fr.with_salt(accepted, cfg.salt_buckets)
     new_rows = accepted.select(*[c for c in frontier.columns])
-    new_rows = new_rows.localCheckpoint()
+    new_rows = _ckpt(new_rows, cfg.checkpoint_dir)
     n_enqueued = new_rows.count()
     # accepted fingerprints carry their enqueue_seq into the seen table
     # (added_seq powers fingerprint-TTL expiry / the deletable cuckoo
@@ -306,12 +315,13 @@ def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
             [F.col("score").desc(), F.col("enqueue_seq").asc()],
             start=next_seq + n_enqueued,
             col_name="_new_seq",
+            checkpoint_dir=cfg.checkpoint_dir,
         )
-        retry_rows = (
+        retry_rows = _ckpt(
             retry_rows.drop("enqueue_seq")
             .withColumnRenamed("_new_seq", "enqueue_seq")
-            .select(*[c for c in frontier.columns])
-            .localCheckpoint()
+            .select(*[c for c in frontier.columns]),
+            cfg.checkpoint_dir,
         )
         n_retries = retry_rows.count()
         new_rows = new_rows.unionByName(retry_rows)

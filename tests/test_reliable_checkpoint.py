@@ -1,0 +1,51 @@
+"""Reliable-checkpoint path (cluster reliability, round-1 verdict #5):
+iterative/stateful plans must run with a durable checkpoint dir —
+localCheckpoint blocks die with their executor — and produce results
+identical to the in-memory path."""
+
+from pyspark.sql import functions as F
+
+from openslack_crawler_spark import synthetic
+from openslack_crawler_spark.operators.components import connected_components
+from openslack_crawler_spark.plans import round_job as rj
+
+
+def test_components_with_reliable_checkpoint(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "src long, dst long",
+    )
+    base = {(r.node, r.component) for r in connected_components(edges).collect()}
+    reliable = {
+        (r.node, r.component)
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert reliable == base
+    assert base == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+    # the durable dir was actually used
+    import os
+
+    assert any(os.scandir(tmp_path / "ckpt"))
+
+
+def test_crawl_rounds_with_reliable_checkpoint(spark, tmp_path):
+    seeds = synthetic.gen_seeds(spark, 300, n_hosts=20)
+    robots = synthetic.gen_robots(spark, 20)
+    base_cfg = rj.CrawlConfig(n_hosts=20, k_per_host=4, maxdepth=2)
+    ck_cfg = rj.CrawlConfig(
+        n_hosts=20, k_per_host=4, maxdepth=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    fmt_a = rj.run_crawl(spark, str(tmp_path / "a"), seeds, robots, base_cfg, rounds=2)
+    fmt_b = rj.run_crawl(spark, str(tmp_path / "b"), seeds, robots, ck_cfg, rounds=2)
+    order_a = [tuple(r) for r in rj.crawl_order(fmt_a).collect()]
+    order_b = [tuple(r) for r in rj.crawl_order(fmt_b).collect()]
+    assert order_a == order_b
+    seen_a = {r.url_hash for r in fmt_a.read("seen").collect()}
+    seen_b = {r.url_hash for r in fmt_b.read("seen").collect()}
+    assert seen_a == seen_b
