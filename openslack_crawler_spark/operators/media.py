@@ -97,26 +97,80 @@ def fetch_media_stub(batch: DataFrame, round_id: int) -> DataFrame:
     )
 
 
-def thumbnail_stub(media: DataFrame, sizes: dict[str, tuple[int, int]] | None = None) -> DataFrame:
+IMAGES_THUMBS = {"small": (270, 270), "big": (970, 970)}  # settings.py:356-359
+
+
+def with_thumb_dims(
+    df: DataFrame,
+    src_w: str = "src_w",
+    src_h: str = "src_h",
+    box_w: str = "box_w",
+    box_h: str = "box_h",
+) -> DataFrame:
+    """Aspect-fit thumbnail box computation (image.py:103-139 →
+    PIL Image.thumbnail semantics) as REAL integer column expressions:
+    never upscale; otherwise fit the box preserving aspect ratio with
+    floor division; dimensions never collapse below 1. Exact integer
+    arithmetic — identical in DuckDB with `//`."""
+    y1 = f"(({box_w} * {src_h}) DIV {src_w})"
+    x2 = f"(({box_h} * {src_w}) DIV {src_h})"
+    out_w = (
+        f"CASE WHEN {src_w} <= {box_w} AND {src_h} <= {box_h} THEN {src_w} "
+        f"WHEN {y1} > {box_h} THEN greatest(1, {x2}) ELSE {box_w} END"
+    )
+    out_h = (
+        f"CASE WHEN {src_w} <= {box_w} AND {src_h} <= {box_h} THEN {src_h} "
+        f"WHEN {y1} > {box_h} THEN {box_h} ELSE greatest(1, {y1}) END"
+    )
+    return df.withColumn("out_w", F.expr(out_w).cast("int")).withColumn(
+        "out_h", F.expr(out_h).cast("int")
+    )
+
+
+def thumbnail_plan(media: DataFrame, sizes: dict[str, tuple[int, int]] | None = None) -> DataFrame:
     """IMAGES_THUMBS semantics (settings.py:356-359): one output row per
-    (image, size-name); the resize is a deterministic fake (payload
-    truncation) with real schema/plumbing."""
-    sizes = sizes or {"small": (270, 270), "big": (970, 970)}
+    (image, size-name) with the real aspect-fit output dimensions.
+    Source dims are a deterministic function of the key (the codec that
+    would read them from the payload is the only stubbed piece); the
+    resize payload is a deterministic fake (truncation) behind real
+    schema/plumbing."""
+    sizes = sizes or IMAGES_THUMBS
     size_rows = F.array(
         *[
-            F.struct(F.lit(name).alias("size_name"), F.lit(w).alias("w"), F.lit(h).alias("h"))
+            F.struct(
+                F.lit(name).alias("size_name"),
+                F.lit(w).alias("box_w"),
+                F.lit(h).alias("box_h"),
+            )
             for name, (w, h) in sizes.items()
         ]
     )
-    imgs = media.filter(F.col("content_type").startswith("image/"))
-    return imgs.select(
-        "media_key",
-        F.explode(size_rows).alias("s"),
-        F.col("payload"),
+    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    imgs = (
+        media.filter(F.col("content_type").startswith("image/"))
+        .withColumn(
+            "src_w",
+            (F.lit(100) + F.pmod(h60(F.concat(F.col("media_key"), F.lit("_w"))), F.lit(1900))).cast("int"),
+        )
+        .withColumn(
+            "src_h",
+            (F.lit(100) + F.pmod(h60(F.concat(F.col("media_key"), F.lit("_h"))), F.lit(1900))).cast("int"),
+        )
+    )
+    sized = imgs.select(
+        "media_key", "src_w", "src_h", F.explode(size_rows).alias("s"), "payload"
     ).select(
-        "media_key",
+        "media_key", "src_w", "src_h",
         F.col("s.size_name").alias("size_name"),
-        F.col("s.w").alias("width"),
-        F.col("s.h").alias("height"),
+        F.col("s.box_w").alias("box_w"),
+        F.col("s.box_h").alias("box_h"),
+        "payload",
+    )
+    return with_thumb_dims(sized).select(
+        "media_key", "size_name", "src_w", "src_h", "out_w", "out_h",
         F.substring("payload", 1, 64).alias("thumb_payload"),
     )
+
+
+# backwards-compatible alias (round-1 name)
+thumbnail_stub = thumbnail_plan

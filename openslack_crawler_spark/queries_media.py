@@ -212,8 +212,70 @@ FROM events
 """
 
 
+# --- S16: thumbnail boxes as real column arithmetic (image.py:103-139,
+# IMAGES_THUMBS settings.py:356-359) -------------------------------------------
+def q_media_thumbnails(spark, sf_dir):
+    """Aspect-fit thumbnail dims for every image doc × IMAGES_THUMBS
+    size — integer-exact PIL thumbnail() semantics (operators/media.py
+    with_thumb_dims); source dims are the deterministic hash of the
+    media key (the codec read is the only stubbed piece)."""
+    from .operators.media import IMAGES_THUMBS, with_thumb_dims
+    from .queries_textdedup import h60
+
+    docs = _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(3)) == 0)
+    key = F.concat(F.lit("img-"), F.col("doc_id").cast("string"))
+    imgs = docs.select(
+        "doc_id",
+        (F.lit(100) + F.pmod(h60(F.concat(key, F.lit("_w"))), F.lit(1900))).cast("int").alias("src_w"),
+        (F.lit(100) + F.pmod(h60(F.concat(key, F.lit("_h"))), F.lit(1900))).cast("int").alias("src_h"),
+    )
+    sizes = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("size_name"),
+                F.lit(w).alias("box_w"),
+                F.lit(h).alias("box_h"),
+            )
+            for n, (w, h) in IMAGES_THUMBS.items()
+        ]
+    )
+    sized = imgs.select(
+        "doc_id", "src_w", "src_h", F.explode(sizes).alias("s")
+    ).select(
+        "doc_id", "src_w", "src_h",
+        F.col("s.size_name").alias("size_name"),
+        F.col("s.box_w").alias("box_w"),
+        F.col("s.box_h").alias("box_h"),
+    )
+    return with_thumb_dims(sized).select(
+        "doc_id", "size_name", "src_w", "src_h", "out_w", "out_h"
+    )
+
+
+SQL_MEDIA_THUMBNAILS = """
+WITH imgs AS (
+  SELECT doc_id,
+         cast(100 + (cast(concat('0x', substr(md5(concat('img-', doc_id, '_w')), 1, 15)) AS bigint) % 1900) AS int) AS src_w,
+         cast(100 + (cast(concat('0x', substr(md5(concat('img-', doc_id, '_h')), 1, 15)) AS bigint) % 1900) AS int) AS src_h
+  FROM documents WHERE doc_id % 3 = 0
+), sized AS (
+  SELECT doc_id, src_w, src_h, s.size_name, s.box_w, s.box_h
+  FROM imgs, (VALUES ('small', 270, 270), ('big', 970, 970)) AS s(size_name, box_w, box_h)
+)
+SELECT doc_id, size_name, src_w, src_h,
+       cast(CASE WHEN src_w <= box_w AND src_h <= box_h THEN src_w
+                 WHEN (box_w * src_h) // src_w > box_h THEN greatest(1, (box_h * src_w) // src_h)
+                 ELSE box_w END AS int) AS out_w,
+       cast(CASE WHEN src_w <= box_w AND src_h <= box_h THEN src_h
+                 WHEN (box_w * src_h) // src_w > box_h THEN box_h
+                 ELSE greatest(1, (box_w * src_h) // src_w) END AS int) AS out_h
+FROM sized
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "media_keys": (q_media_keys, SQL_MEDIA_KEYS),
+    "media_thumbnails": (q_media_thumbnails, SQL_MEDIA_THUMBNAILS),
     "media_fetch_plan": (q_media_fetch_plan, SQL_MEDIA_FETCH_PLAN),
     "string_processors": (q_string_processors, SQL_STRING_PROCESSORS),
     "host_extract": (q_host_extract, SQL_HOST_EXTRACT),

@@ -106,18 +106,80 @@ def enqueue_batch(fmt: SnapshotParquetFormat, batch: DataFrame, epoch_id: int) -
     )
 
 
-def start_file_ingest(
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the kafka connector (spark-sql-kafka) is on the
+    classpath — the capability check gating the real S2/S19 source."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def choose_request_source(
+    spark: SparkSession,
+    kafka_bootstrap: str | None = None,
+    incoming_dir: str | None = None,
+) -> str:
+    """Source-selection policy: kafka when requested AND loadable, else
+    the file twin. Pure decision logic (unit-testable without the jar)."""
+    if kafka_bootstrap and kafka_available(spark):
+        return "kafka"
+    if incoming_dir:
+        return "file"
+    if kafka_bootstrap:
+        raise RuntimeError(
+            "kafka bootstrap given but the kafka connector jar is not on "
+            "the classpath, and no incoming_dir fallback was provided"
+        )
+    raise ValueError("need kafka_bootstrap and/or incoming_dir")
+
+
+def build_request_source(
+    spark: SparkSession,
+    kafka_bootstrap: str | None = None,
+    topic: str = "demo.incoming_urls",
+    incoming_dir: str | None = None,
+    streaming: bool = True,
+    starting_offsets: str = "earliest",
+):
+    """The raw request source plan (S2/S19): a kafka reader when the
+    connector is loadable (kafka-monitor.py:114-142's consumer; batch
+    mode with startingOffsets=earliest is the kafkadump.py:50-60 topic
+    scan), else the connector-free file twin with the identical
+    downstream plan. Returns (DataFrame with a string `value` column,
+    chosen source name)."""
+    chosen = choose_request_source(spark, kafka_bootstrap, incoming_dir)
+    reader = spark.readStream if streaming else spark.read
+    if chosen == "kafka":
+        raw = (
+            reader.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+            .selectExpr("CAST(value AS STRING) AS value")
+        )
+    else:
+        raw = reader.format("text").load(incoming_dir)
+    return raw, chosen
+
+
+def start_request_ingest(
     spark: SparkSession,
     fmt: SnapshotParquetFormat,
-    incoming_dir: str,
+    incoming_dir: str | None = None,
+    kafka_bootstrap: str | None = None,
+    topic: str = "demo.incoming_urls",
 ):
-    """Watch a directory of json request files (the connector-free
-    stand-in for the `demo.incoming_urls` Kafka topic) and enqueue each
-    micro-batch atomically."""
-    raw = (
-        spark.readStream.format("text")
-        .load(incoming_dir)
-        .withColumnRenamed("value", "value")
+    """Watch the request source (kafka topic when the connector is
+    present, else a directory of json request files — the stand-in for
+    `demo.incoming_urls`) and enqueue each micro-batch atomically."""
+    raw, _ = build_request_source(
+        spark, kafka_bootstrap=kafka_bootstrap, topic=topic,
+        incoming_dir=incoming_dir, streaming=True,
     )
     parsed = parse_requests(raw, "value")
     return (
@@ -126,3 +188,12 @@ def start_file_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_file_ingest(
+    spark: SparkSession,
+    fmt: SnapshotParquetFormat,
+    incoming_dir: str,
+):
+    """Connector-free ingest twin (kept as the round-1 name)."""
+    return start_request_ingest(spark, fmt, incoming_dir=incoming_dir)

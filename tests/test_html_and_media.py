@@ -68,8 +68,35 @@ def test_needs_fetch_freshness(spark):
 def test_thumbnails(spark):
     cands = M.media_candidates(_docs(spark))
     fetched = M.fetch_media_stub(M.needs_fetch(cands, None), round_id=1)
-    thumbs = M.thumbnail_stub(fetched).collect()
-    # one image key × two sizes
-    assert sorted((t.size_name, t.width) for t in thumbs) == [
-        ("big", 970), ("small", 270)
+    thumbs = M.thumbnail_plan(fetched).collect()
+    # one image key × two sizes, aspect-fit output dims
+    assert sorted(t.size_name for t in thumbs) == ["big", "small"]
+    for t in thumbs:
+        box = M.IMAGES_THUMBS[t.size_name]
+        assert 1 <= t.out_w <= min(t.src_w, box[0])
+        assert 1 <= t.out_h <= min(t.src_h, box[1])
+        if t.src_w > box[0] or t.src_h > box[1]:  # shrunk → aspect kept
+            assert abs(t.out_w / t.out_h - t.src_w / t.src_h) < 0.05
+
+
+def test_thumb_dims_pil_semantics(spark):
+    """Aspect-fit arithmetic matches PIL Image.thumbnail: no upscale,
+    floor division, never below 1."""
+    rows = [
+        # (src_w, src_h, box_w, box_h, want_w, want_h)
+        (100, 100, 270, 270, 100, 100),   # no upscale
+        (1000, 500, 270, 270, 270, 135),  # width-bound
+        (500, 1000, 270, 270, 135, 270),  # height-bound
+        (2000, 1, 270, 270, 270, 1),      # floor to >= 1
+        (970, 970, 970, 970, 970, 970),   # exact fit
     ]
+    df = spark.createDataFrame(
+        [(a, b, c, d) for a, b, c, d, _, _ in rows],
+        "src_w int, src_h int, box_w int, box_h int",
+    )
+    got = {
+        (r.src_w, r.src_h, r.box_w, r.box_h): (r.out_w, r.out_h)
+        for r in M.with_thumb_dims(df).collect()
+    }
+    for a, b, c, d, w, h in rows:
+        assert got[(a, b, c, d)] == (w, h), (a, b, c, d)

@@ -46,12 +46,66 @@ def test_table_format_seam_signature_parity():
     from openslack_crawler_spark.sources.table_format import SnapshotParquetFormat
 
     for name in (
-        "commit", "append", "compact", "merge_upsert", "read", "meta",
+        "commit", "append", "compact", "merge_upsert",
+        "merge_upsert_bucketed", "read", "meta",
         "current_snapshot_id", "current_manifest", "destroy",
     ):
         twin = getattr(SnapshotParquetFormat, name)
         ice = getattr(IcebergFormat, name)
         assert inspect.signature(twin) == inspect.signature(ice), name
+
+
+def test_bucketed_merge_rewrites_only_affected_buckets(spark, tmp_path):
+    """Partition-scoped MERGE (round-1 verdict #6): write volume must be
+    O(delta buckets), not O(table) — measured by rows in the new data
+    dir vs table size."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from openslack_crawler_spark.sources.table_format import SnapshotParquetFormat
+
+    fmt = SnapshotParquetFormat(str(tmp_path / "store"), spark)
+    B, N = 64, 50000
+    base = spark.range(N).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    fmt.merge_upsert_bucketed("docs", base, "k", num_buckets=B)
+
+    # upsert 40 keys (20 updates + 20 inserts) → few buckets touched
+    delta = spark.range(N - 20, N + 20).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    affected = {
+        r["_b"]
+        for r in delta.select(
+            F.pmod(F.xxhash64("k"), F.lit(B)).cast("int").alias("_b")
+        ).distinct().collect()
+    }
+    sid = fmt.merge_upsert_bucketed("docs", delta, "k")
+
+    # semantics: new rows win on key collision, everything else intact
+    out = fmt.read("docs")
+    assert out.count() == N + 20
+    assert out.filter(F.col("v") == -1).count() == 40
+    assert out.filter((F.col("k") == 0) & (F.col("v") == 0)).count() == 1
+
+    # write volume: the new dir holds only the affected buckets' rows
+    new_dirs = glob.glob(str(tmp_path / "store" / "data" / "docs" / f"{sid}-*"))
+    assert len(new_dirs) == 1
+    rewritten = spark.read.parquet(new_dirs[0]).count()
+    expected_bucket_rows = out.withColumn(
+        "_b", F.pmod(F.xxhash64("k"), F.lit(B)).cast("int")
+    ).filter(F.col("_b").isin(list(affected))).count()
+    assert rewritten == expected_bucket_rows
+    assert rewritten < N * 0.8  # strictly less than a full-table rewrite
+    # untouched buckets' dirs are carried forward from the first write
+    entry = fmt.current_manifest()["tables"]["docs"]
+    carried = [p for b, p in entry["buckets"].items() if int(b) not in affected]
+    assert carried and all(f"{sid}-" not in p for p in carried)
+
+    # time travel still sees the pre-merge table
+    assert fmt.read("docs", snapshot_id=sid - 1).count() == N
 
 
 def test_bucketed_seen_join_is_shuffle_free(spark, tmp_path):

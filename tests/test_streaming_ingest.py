@@ -40,6 +40,34 @@ def test_file_ingest_enqueues_and_dedups(spark, tmp_path):
     assert fmt.read("frontier").count() == 2
 
 
+def test_kafka_source_selection_logic(spark, tmp_path, monkeypatch):
+    """S2/S19 capability gating: kafka plan when the connector class is
+    loadable, file twin otherwise; explicit error when kafka was asked
+    for with no fallback."""
+    import pytest
+
+    from openslack_crawler_spark.streaming import ingest as ing
+
+    # sandbox has no kafka jar
+    assert ing.kafka_available(spark) is False
+    assert (
+        ing.choose_request_source(spark, "broker:9092", str(tmp_path)) == "file"
+    )
+    assert ing.choose_request_source(spark, None, str(tmp_path)) == "file"
+    with pytest.raises(RuntimeError):
+        ing.choose_request_source(spark, "broker:9092", None)
+    with pytest.raises(ValueError):
+        ing.choose_request_source(spark, None, None)
+    # with the connector present the kafka plan is chosen
+    monkeypatch.setattr(ing, "kafka_available", lambda s: True)
+    assert ing.choose_request_source(spark, "broker:9092", str(tmp_path)) == "kafka"
+    # and the file twin builds a real streaming plan with a value column
+    df, chosen = ing.build_request_source(
+        spark, incoming_dir=str(tmp_path), streaming=True
+    )
+    assert chosen == "file" and df.columns == ["value"] and df.isStreaming
+
+
 def test_ingest_seq_dense_and_unique_across_batches(spark, tmp_path):
     """enqueue_seq must stay dense and unique even when a batch loses
     rows to dedup/seen-filter: seqs are assigned AFTER filtering, so
