@@ -141,6 +141,124 @@ def run_sched_bench(cores: int, n_urls: int) -> dict:
     }
 
 
+def run_bigseen_bench(n_seen: int, n_cands: int) -> dict:
+    """The seen ≫ candidates regime (the 100 TB shape: a 10^10-row seen
+    table probed by a ~10^6-row round batch). Three plans, same result:
+
+      exact_shuffle : plain anti-join — shuffles BOTH sides (the naive
+                      plan; at 10^10 rows the seen shuffle dominates)
+      exact_spj     : seen stored bucketed by url_hash (Iceberg
+                      bucket(N, url_hash) analogue) — the anti-join
+                      shuffles only the candidate side
+      bloom_spj     : partitioned-bloom prefilter (definite negatives
+                      skip the join) + SPJ anti-join for suspects only
+
+    Setup (seen table write + bloom build) is untimed: both are
+    amortized maintenance in a real crawl (the bloom is maintained
+    incrementally per round, the seen table is the stored state)."""
+    import shutil as _sh
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from openslack_crawler_spark.operators.seen_filter import PartitionedBloom
+    from openslack_crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="bigseen-bench", cores=CPUS)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # seen is never broadcastable
+
+    n_hit = n_cands // 2  # half the batch is a revisit
+    seen = spark.range(n_seen).select(F.xxhash64("id").alias("url_hash"))
+    # candidates: n_hit ids inside the seen range, the rest outside
+    cands = (
+        spark.range(n_hit)
+        .union(spark.range(n_seen, n_seen + (n_cands - n_hit)))
+        .select(F.xxhash64("id").alias("url_hash"))
+        .withColumn("dont_filter", F.lit(False))
+    )
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql("DROP TABLE IF EXISTS bigseen")
+    _sh.rmtree(f"{wh}/bigseen", ignore_errors=True)
+    seen.write.bucketBy(64, "url_hash").sortBy("url_hash").mode(
+        "overwrite"
+    ).saveAsTable("bigseen")
+    seen_b = spark.table("bigseen")
+
+    # ~10 bits/key for ~1% fp: 200M keys / 64 blocks → 2^25 bits (4 MiB)
+    # per block, 256 MiB total — the bitmap volume the probe transfers
+    bits = 1 << max(20, (n_seen * 10 // 64).bit_length())
+    bloom = PartitionedBloom(num_blocks=64, bits=bits)
+    blocks_path = f"{wh}/bigseen_bloom"
+    _sh.rmtree(blocks_path, ignore_errors=True)
+    bloom.build(seen_b).write.mode("overwrite").parquet(blocks_path)
+    blocks = spark.read.parquet(blocks_path)
+
+    cands = cands.localCheckpoint()  # candidates materialized once
+
+    out: dict = {"n_seen": n_seen, "n_cands": n_cands}
+
+    def timed(tag, fn):
+        # best-of-2: the shared host's memory-bandwidth noise swings
+        # single measurements up to 3x; the min is the honest capability
+        secs, n = [], 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn()
+            secs.append(time.perf_counter() - t0)
+        out[tag] = {"sec": round(min(secs), 3), "rows": n,
+                    "all_secs": [round(s, 3) for s in secs]}
+
+    # (a) naive: disable bucketed scan → both sides shuffle
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    timed("exact_shuffle", lambda: cands.join(seen_b, "url_hash", "left_anti").count())
+    # (b) storage-partitioned: bucketed seen side is NOT reshuffled
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    timed("exact_spj", lambda: cands.join(seen_b, "url_hash", "left_anti").count())
+    # (c) bloom prefilter: definite negatives skip the join entirely
+    timed(
+        "bloom_spj",
+        lambda: bloom.prefiltered_unseen(cands, seen_b, blocks).count(),
+    )
+
+    assert out["exact_shuffle"]["rows"] == out["exact_spj"]["rows"] == out["bloom_spj"]["rows"]
+    out["fresh_rows"] = out["exact_spj"]["rows"]
+    # shuffle-volume evidence: how many candidates the bloom certified
+    # fresh WITHOUT touching the join (the 10^10 claim is about join
+    # input volume, not sandbox wall-clock)
+    suspects = (
+        bloom.probe(cands, blocks).filter(F.col("maybe_seen")).count()
+    )
+    out["bloom_suspects"] = suspects
+    out["bloom_join_skip_frac"] = round(1 - suspects / n_cands, 4)
+    out["bloom_bits_per_block"] = bits
+    spark.sql("DROP TABLE IF EXISTS bigseen")
+    _sh.rmtree(f"{wh}/bigseen", ignore_errors=True)
+    _sh.rmtree(blocks_path, ignore_errors=True)
+    return out
+
+
+def _burn(n):
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def cpu_sentinel() -> float:
+    """Raw 32-proc ALU burn (sec) — a host-noise sentinel recorded with
+    every bench so cross-round comparisons can spot a noisy hypervisor
+    neighbor (this box's shared-host variance measured up to 3x on
+    memory-bandwidth-bound work)."""
+    import multiprocessing as mp
+
+    with mp.Pool(CPUS) as p:
+        t0 = time.perf_counter()
+        p.map(_burn, [20_000_000] * CPUS)
+        return round(time.perf_counter() - t0, 3)
+
+
 def run_query_bench() -> dict:
     import __spark_entry__ as entry
     from openslack_crawler_spark.session import get_spark
@@ -164,14 +282,26 @@ def main():
         urls = int(sys.argv[sys.argv.index("--urls") + 1])
         print("SCHEDJSON:" + json.dumps(run_sched_bench(cores, urls)))
         return
+    if "--bigseen-bench" in sys.argv:
+        n_seen = int(os.environ.get("BIGSEEN_SEEN", "200000000"))
+        n_cands = int(os.environ.get("BIGSEEN_CANDS", "1000000"))
+        print("BIGSEENJSON:" + json.dumps(run_bigseen_bench(n_seen, n_cands)))
+        return
 
+    sentinel_before = cpu_sentinel()
     queries = run_query_bench()
+    # stop the parent JVM before the subprocess benches: an idle 20g
+    # session + its page-cache footprint measurably pollutes the
+    # pinned scaling runs (measured: 42s vs 22.5s at local[32])
+    from openslack_crawler_spark.session import get_spark
+
+    get_spark(cores=CPUS).stop()
 
     scaling = {}
     results = {}
     import shutil as _shutil
 
-    for cores in (CORES_LOW, CORES_HIGH):
+    def one_sched_run(cores: int) -> dict:
         cmd = [sys.executable, os.path.abspath(__file__), "--sched-bench",
                "--cores", str(cores), "--urls", str(N_URLS)]
         if _shutil.which("taskset"):
@@ -185,11 +315,22 @@ def main():
         )
         for line in proc.stdout.splitlines():
             if line.startswith("SCHEDJSON:"):
-                results[cores] = json.loads(line[len("SCHEDJSON:"):])
-                break
-        else:
-            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
-            raise RuntimeError(f"sched bench at {cores} cores produced no result")
+                return json.loads(line[len("SCHEDJSON:"):])
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+        raise RuntimeError(f"sched bench at {cores} cores produced no result")
+
+    # TWO interleaved passes per level (8, 32, 8, 32), best-of across
+    # passes: this box is a shared host whose memory-bandwidth noise
+    # comes in multi-minute bursts (measured 2x swings on identical
+    # back-to-back runs); sampling each level in two separated windows
+    # decorrelates the noise instead of letting one burst poison a level
+    for pass_id in range(2):
+        for cores in (CORES_LOW, CORES_HIGH):
+            r = one_sched_run(cores)
+            prev = results.get(cores)
+            if prev is None or r["sec"] < prev["sec"]:
+                results[cores] = r
+            results.setdefault(f"passes_{cores}", []).append(round(r["sec"], 3))
     low, high = results[CORES_LOW], results[CORES_HIGH]
     speedup = low["sec"] / high["sec"]
     scaling = {
@@ -202,7 +343,28 @@ def main():
         "speedup": round(speedup, 3),
         "efficiency": round(speedup / (CORES_HIGH / CORES_LOW), 3),
         "urls": N_URLS,
+        "pass_secs_low": results[f"passes_{CORES_LOW}"],
+        "pass_secs_high": results[f"passes_{CORES_HIGH}"],
+        "cpu_sentinel_before": sentinel_before,
+        "cpu_sentinel_after": cpu_sentinel(),
     }
+
+    # seen ≫ candidates regime — runs LAST (own subprocess/JVM): its
+    # 200M-row shuffle + page-cache footprint must not precede the
+    # pinned scaling runs (one Spark workload at a time when timing)
+    bigseen = {}
+    cmd = [sys.executable, os.path.abspath(__file__), "--bigseen-bench"]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BIGSEENJSON:"):
+            bigseen = json.loads(line[len("BIGSEENJSON:"):])
+            break
+    else:
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+        raise RuntimeError("bigseen bench produced no result")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -215,6 +377,7 @@ def main():
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "urls_per_sec": scaling["urls_per_sec_high"],
                 "scaling": scaling,
+                "bigseen": bigseen,
             }
         )
     )

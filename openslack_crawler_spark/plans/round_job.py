@@ -370,8 +370,12 @@ def run_crawl(
     resume: bool = False,
 ) -> SnapshotParquetFormat:
     """Bootstrap (unless resuming) + N rounds. A killed run resumes from
-    the last committed snapshot with no duplicated or lost work (ST5)."""
-    fmt = SnapshotParquetFormat(root, spark)
+    the last committed snapshot with no duplicated or lost work (ST5).
+    The table format is resolved through the seam: IcebergFormat when a
+    `crawler` catalog is configured (cluster), else the parquet twin."""
+    from ..sources.table_format import make_table_format
+
+    fmt = make_table_format(root, spark)
     if not resume or fmt.current_snapshot_id() is None:
         bootstrap(fmt, seeds, robots, cfg)
     done_rounds = fmt.meta()["round"]

@@ -273,9 +273,41 @@ FROM sized
 """
 
 
+# --- S15: dedup-by-content (GridFS checksum comparison, file.py:225-256:
+# a stored file is skipped when the sha1-of-CONTENT checksum already
+# exists — key-by-url alone misses same-bytes-different-url copies) ----------
+def q_media_content_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://media.example/f/"), F.col("doc_id").cast("string"))
+    # deterministic payload with intentional cross-URL collisions
+    content = F.concat(F.lit("payload-"), F.pmod("doc_id", F.lit(40)).cast("string"))
+    # sha256 stands in for the reference's sha1 (DuckDB has no sha1);
+    # the content-addressed semantics are identical
+    media = docs.select(
+        F.sha2(url, 256).alias("media_key"),
+        F.sha2(content, 256).alias("checksum"),
+    )
+    return media.groupBy("checksum").agg(
+        F.min("media_key").alias("canonical_key"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+SQL_MEDIA_CONTENT_DEDUP = """
+WITH media AS (
+  SELECT sha256(concat('http://media.example/f/', doc_id)) AS media_key,
+         sha256(concat('payload-', doc_id % 40)) AS checksum
+  FROM documents
+)
+SELECT checksum, min(media_key) AS canonical_key, count(*) AS n_copies
+FROM media GROUP BY checksum
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "media_keys": (q_media_keys, SQL_MEDIA_KEYS),
     "media_thumbnails": (q_media_thumbnails, SQL_MEDIA_THUMBNAILS),
+    "media_content_dedup": (q_media_content_dedup, SQL_MEDIA_CONTENT_DEDUP),
     "media_fetch_plan": (q_media_fetch_plan, SQL_MEDIA_FETCH_PLAN),
     "string_processors": (q_string_processors, SQL_STRING_PROCESSORS),
     "host_extract": (q_host_extract, SQL_HOST_EXTRACT),

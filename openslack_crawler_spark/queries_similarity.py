@@ -73,6 +73,10 @@ def cosine_expr(a_col, b_col):
 
 # --- brute-force cosine top-k -------------------------------------------------
 def q_ann_cosine_topk(spark, sf_dir):
+    """CORRECTNESS BASELINE ONLY — a global crossJoin is O(Q·N) and must
+    never be the default plan at scale; its role there is the per-bucket
+    kernel inside ann_lsh_topk / ann_ivf_topk (which bound the candidate
+    set before this ranking runs). Reach for those for any real corpus."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -292,9 +296,126 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+# --- multi-band LSH ANN (banded multi-probe: the production recall shape) -----
+N_BANDS = 3
+
+
+def q_ann_lsh_multiband_topk(spark, sf_dir, n_planes: int | None = None, n_bands: int = N_BANDS):
+    """N_BANDS independent plane sets; a candidate pair only needs to
+    collide in ONE band (recall ≈ 1-(1-p^planes)^bands vs single-band
+    p^planes). Each band is an equi-join on (band, bucket) — the union
+    of per-band candidate sets is deduped before the cosine ranking, so
+    the expensive kernel runs once per distinct pair. The scale shape:
+    candidate volume is bands × (n · bucket_size), still never O(n²)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    if n_planes is None:
+        n_planes = n_planes_for(emb.count())
+    iv = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long"))
+        ).alias("i", "x"),
+    )
+    planes = (
+        iv.select(
+            "vec_id", "i", "x",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        )
+        .select(
+            "vec_id", "i", "x", "band",
+            F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j"),
+        )
+        .withColumn(
+            "g",
+            F.pmod(
+                h60(F.concat_ws("_", F.col("band").cast("string"), F.col("j").cast("string"), F.col("i").cast("string"))),
+                F.lit(2001),
+            ) - 1000,
+        )
+        .withColumn("contrib", F.col("x") * F.col("g"))
+    )
+    proj = planes.groupBy("vec_id", "band", "j").agg(F.sum("contrib").alias("s"))
+    buckets = (
+        proj.withColumn(
+            "bit", F.when(F.col("s") > 0, F.expr("cast(pow(2, j) as bigint)")).otherwise(0)
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("bit").cast("long").alias("bucket"))
+    )
+    be = emb.join(buckets, "vec_id")
+    queries = be.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        "band", "bucket",
+    )
+    cands = be.select(F.col("vec_id").alias("neighbor_id"), "embedding", "band", "bucket")
+    pairs = (
+        queries.join(cands, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_emb", "neighbor_id", "embedding")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union of bands, kernel once per pair
+    )
+    scored = pairs.withColumn("sim", cosine_expr(F.col("q_emb"), F.col("embedding")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "rnk", "neighbor_id",
+            F.floor(F.col("sim") * 1000000).cast("long").alias("sim_micro"),
+        )
+    )
+
+
+SQL_ANN_LSH_MULTIBAND_TOPK = f"""
+WITH iv AS (
+  SELECT vec_id, i - 1 AS i, cast(floor(x * 1000) AS bigint) AS x
+  FROM (
+    SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+), planes AS (
+  SELECT vec_id, band, j,
+         x * ((cast(concat('0x', substr(md5(concat(band, '_', j, '_', i)), 1, 15)) AS bigint) % 2001) - 1000) AS contrib
+  FROM iv,
+       generate_series(0, {N_BANDS - 1}) AS tb(band),
+       generate_series(0, {N_PLANES - 1}) AS tj(j)
+), proj AS (
+  SELECT vec_id, band, j, sum(contrib) AS s FROM planes GROUP BY vec_id, band, j
+), buckets AS (
+  SELECT vec_id, band,
+         cast(sum(CASE WHEN s > 0 THEN cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS bucket
+  FROM proj GROUP BY vec_id, band
+), be AS (
+  SELECT e.vec_id, e.embedding, b.band, b.bucket
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+), pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM be q JOIN be c ON q.band = c.band AND q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+), scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim
+  FROM pairs p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.vec_id = p.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cast(rnk AS int) AS rnk, neighbor_id,
+       cast(floor(sim * 1000000) AS bigint) AS sim_micro
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_lsh_multiband_topk": (q_ann_lsh_multiband_topk, SQL_ANN_LSH_MULTIBAND_TOPK),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
 }
