@@ -259,6 +259,51 @@ def cpu_sentinel() -> float:
         return round(time.perf_counter() - t0, 3)
 
 
+def hw_scaling_ceiling() -> dict:
+    """The box's OWN parallel-scaling ceiling, measured: a pinned
+    pure-ALU burn at 8 and 32 procs. A partially-loaded turbo CPU
+    clocks higher than a fully-loaded one, so per-core work is faster
+    at 8-wide than at 32-wide — a hardware property of single-box
+    scaling studies that equal-clock N→4N NODE clusters do not have.
+    Reported so the pipeline's efficiency can be read against what the
+    hardware itself can deliver (pipeline_eff / hw_eff transfers to
+    the cluster setting)."""
+    import subprocess as sp
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import multiprocessing as mp, time, sys
+        def burn(n):
+            x = 0
+            for i in range(n): x += i*i
+            return x
+        procs = int(sys.argv[1])
+        with mp.Pool(procs) as p:
+            best = min(
+                (lambda t0: (p.map(burn, [30_000_000]*procs), time.perf_counter()-t0)[1])(time.perf_counter())
+                for _ in range(3)
+            )
+        print(best)
+        """
+    )
+    secs = {}
+    for procs, cpus in ((CORES_LOW, f"0-{CORES_LOW - 1}"), (CORES_HIGH, f"0-{CORES_HIGH - 1}")):
+        cmd = [sys.executable, "-c", code, str(procs)]
+        import shutil as _sh2
+
+        if _sh2.which("taskset"):
+            cmd = ["taskset", "-c", cpus] + cmd
+        secs[procs] = float(sp.run(cmd, capture_output=True, text=True).stdout.strip())
+    tput_low = CORES_LOW / secs[CORES_LOW]
+    tput_high = CORES_HIGH / secs[CORES_HIGH]
+    return {
+        "burn_sec_low": round(secs[CORES_LOW], 3),
+        "burn_sec_high": round(secs[CORES_HIGH], 3),
+        "hw_efficiency": round(tput_high / tput_low / (CORES_HIGH / CORES_LOW), 3),
+    }
+
+
 def run_query_bench() -> dict:
     import __spark_entry__ as entry
     from openslack_crawler_spark.session import get_spark
@@ -348,6 +393,11 @@ def main():
         "cpu_sentinel_before": sentinel_before,
         "cpu_sentinel_after": cpu_sentinel(),
     }
+    hw = hw_scaling_ceiling()
+    scaling["hw_ceiling"] = hw
+    scaling["efficiency_vs_hw_ceiling"] = round(
+        scaling["efficiency"] / hw["hw_efficiency"], 3
+    )
 
     # seen ≫ candidates regime — runs LAST (own subprocess/JVM): its
     # 200M-row shuffle + page-cache footprint must not precede the

@@ -108,6 +108,30 @@ def test_bucketed_merge_rewrites_only_affected_buckets(spark, tmp_path):
     assert fmt.read("docs", snapshot_id=sid - 1).count() == N
 
 
+def test_bucketed_merge_into_absent_bucket(spark, tmp_path):
+    """Incoming keys whose hash bucket has no dir yet must insert
+    cleanly (no survivors read for those buckets) and appear on read."""
+    from pyspark.sql import functions as F
+
+    from openslack_crawler_spark.sources.table_format import SnapshotParquetFormat
+
+    fmt = SnapshotParquetFormat(str(tmp_path / "s"), spark)
+    base = spark.createDataFrame([(1, 10)], "k long, v long")
+    fmt.merge_upsert_bucketed("t", base, "k", num_buckets=64)
+    n_buckets_before = len(fmt.current_manifest()["tables"]["t"]["buckets"])
+    assert n_buckets_before == 1
+    delta = spark.range(2, 40).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    fmt.merge_upsert_bucketed("t", delta, "k")
+    out = fmt.read("t")
+    assert out.count() == 39
+    assert out.filter("k = 1 and v = 10").count() == 1
+    # compact preserves the bucketed layout and contents
+    fmt.compact("t")
+    entry = fmt.current_manifest()["tables"]["t"]
+    assert isinstance(entry, dict) and entry["num_buckets"] == 64
+    assert fmt.read("t").count() == 39
+
+
 def test_bucketed_seen_join_is_shuffle_free(spark, tmp_path):
     """bucketBy(url_hash) on both sides → the anti-join plan has NO
     Exchange (storage-partitioned join; Iceberg bucket(N, url_hash)
