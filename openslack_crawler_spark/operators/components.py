@@ -52,6 +52,19 @@ def connected_components(
         .withColumn("component", F.col("node")),
         checkpoint_dir,
     )
+
+    def label_sum(df) -> int:
+        # exact decimal sum — no 64-bit overflow at 10^10 node ids
+        return int(
+            df.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"] or 0
+        )
+
+    # convergence probe: labels only ever DECREASE (min-propagation), so
+    # the label multiset changed iff its sum changed — one cheap agg per
+    # round instead of a labels⋈labels join + filter + count
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         # candidate labels arriving over edges
         incoming = (
@@ -65,14 +78,9 @@ def connected_components(
             .agg(F.min("component").alias("component")),
             checkpoint_dir,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
