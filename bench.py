@@ -311,6 +311,16 @@ def run_query_bench() -> dict:
     spark = get_spark(app_name="bench-queries", cores=CPUS)
     qs = entry.queries()
     out = {}
+    # steady-state warmup: JVM codegen + python workers + parquet
+    # footers/page cache, so the FIRST query doesn't absorb one-off
+    # session start cost (queries measure query work, not JVM warmup)
+    from pyspark.sql import functions as F
+
+    spark.range(100000).repartition(CPUS).select(F.xxhash64("id").alias("h")).agg(
+        F.max("h")
+    ).collect()
+    for t in ("customer", "orders", "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     for name in BENCH_QUERIES:
         fn = qs[name]
         t0 = time.perf_counter()
