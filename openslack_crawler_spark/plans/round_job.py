@@ -77,6 +77,10 @@ class CrawlConfig:
     # localCheckpoint blocks die with their executor; an HDFS/S3 dir
     # here makes every cut survive executor loss). None = in-memory.
     checkpoint_dir: str | None = None
+    # snapshot retention: expire snapshots (keep this many) on the same
+    # 16-round maintenance cadence as compaction; None = keep all
+    # (storage then grows O(history) — set this for long crawls)
+    expire_keep_last: int | None = None
 
 
 def spans_expr(url_col, n_hosts: int):
@@ -387,6 +391,8 @@ def run_crawl(
         # accumulate unbounded file lists (Iceberg rewrite_data_files)
         if (i + 1) % 16 == 0:
             fmt.compact("seen")
+            if cfg.expire_keep_last:
+                fmt.expire_snapshots(keep_last=cfg.expire_keep_last)
     return fmt
 
 

@@ -201,6 +201,35 @@ class IcebergFormat:
         del spec
         return self.merge_upsert(table, df, key)
 
+    def expire_snapshots(self, keep_last: int = 8) -> dict:
+        """Iceberg-native snapshot expiry per table + prune the engine's
+        rounds marker to the retention window."""
+        removed = 0
+        try:
+            for row in self.spark.sql(f"SHOW TABLES IN {self.ns}").collect():
+                t = row["tableName"]
+                if t == "rounds":
+                    continue
+                try:
+                    self.spark.sql(
+                        f"CALL {CATALOG}.system.expire_snapshots("
+                        f"table => '{self.ns}.{t}', retain_last => {int(keep_last)})"
+                    )
+                    removed += 1
+                except Exception:
+                    pass
+        except Exception:
+            pass
+        cur = self.current_snapshot_id() or 0
+        cutoff = cur - int(keep_last) + 1
+        try:
+            self.spark.sql(
+                f"DELETE FROM {self._qualified('rounds')} WHERE sid < {cutoff} AND sid != {cur}"
+            )
+        except Exception:
+            pass
+        return {"expired_tables": removed, "kept_last": int(keep_last)}
+
     def destroy(self) -> None:
         try:
             for row in self.spark.sql(f"SHOW TABLES IN {self.ns}").collect():

@@ -242,6 +242,49 @@ class SnapshotParquetFormat:
             table, merged, key, num_buckets, dict(self.meta()), reuse=reuse
         )
 
+    def expire_snapshots(self, keep_last: int = 8) -> dict:
+        """Iceberg expire_snapshots twin: drop manifests older than the
+        last `keep_last` snapshots and delete data dirs no kept snapshot
+        references. Time travel keeps working within the retention
+        window; storage stops growing O(history) — at one commit per
+        scheduling round a 10^10-URL crawl would otherwise retain every
+        frontier version ever written. Run off the critical path."""
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return {"removed_manifests": 0, "removed_dirs": 0}
+        mdir = os.path.join(self.root, "manifests")
+        all_sids = sorted(
+            int(f.split(".")[0]) for f in os.listdir(mdir) if f.endswith(".json")
+        )
+        keep = set(all_sids[-keep_last:]) | {cur}
+        referenced: set[str] = set()
+        for sid in keep:
+            m = self._manifest(sid)
+            for entry in m["tables"].values():
+                if isinstance(entry, dict):
+                    referenced.update(entry["buckets"].values())
+                elif isinstance(entry, str):
+                    referenced.add(entry)
+                else:
+                    referenced.update(entry)
+        # a bucket dir is a subdir of its write dir — keep the parent
+        referenced_roots = {p.split("/_bucket=")[0] for p in referenced}
+        removed_dirs = 0
+        data_root = os.path.join(self.root, "data")
+        for table in os.listdir(data_root):
+            tdir = os.path.join(data_root, table)
+            for d in os.listdir(tdir):
+                full = os.path.join(tdir, d)
+                if full not in referenced_roots:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed_dirs += 1
+        removed_manifests = 0
+        for sid in all_sids:
+            if sid not in keep:
+                os.remove(os.path.join(mdir, f"{sid}.json"))
+                removed_manifests += 1
+        return {"removed_manifests": removed_manifests, "removed_dirs": removed_dirs}
+
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
 

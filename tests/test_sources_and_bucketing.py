@@ -47,7 +47,7 @@ def test_table_format_seam_signature_parity():
 
     for name in (
         "commit", "append", "compact", "merge_upsert",
-        "merge_upsert_bucketed", "read", "meta",
+        "merge_upsert_bucketed", "expire_snapshots", "read", "meta",
         "current_snapshot_id", "current_manifest", "destroy",
     ):
         twin = getattr(SnapshotParquetFormat, name)
@@ -106,6 +106,49 @@ def test_bucketed_merge_rewrites_only_affected_buckets(spark, tmp_path):
 
     # time travel still sees the pre-merge table
     assert fmt.read("docs", snapshot_id=sid - 1).count() == N
+
+
+def test_expire_snapshots_bounds_storage(spark, tmp_path):
+    """Snapshot expiry (Iceberg expire_snapshots twin): old manifests
+    and unreferenced data dirs go away; the current state and time
+    travel within the retention window survive — including append
+    deltas that were WRITTEN by expired snapshots but are still
+    referenced by kept ones."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openslack_crawler_spark.sources.table_format import SnapshotParquetFormat
+
+    fmt = SnapshotParquetFormat(str(tmp_path / "s"), spark)
+    base = spark.range(100).select(F.col("id").alias("k"))
+    fmt.commit({"t": base})                       # sid 0
+    for i in range(5):                            # sids 1-5: append deltas
+        fmt.append("log", spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("k")))
+    fmt.commit({"t": base.filter("k < 50")})      # sid 6
+
+    report = fmt.expire_snapshots(keep_last=2)    # keep sids 5, 6
+    assert report["removed_manifests"] == 5
+    # sid-5's manifest still references sid-0's t dir → it must SURVIVE
+    assert report["removed_dirs"] == 0
+
+    # current state intact — including log deltas written by EXPIRED
+    # snapshots (they're still referenced by kept manifests)
+    assert fmt.read("t").count() == 50
+    assert fmt.read("log").count() == 50
+    # time travel inside the window works (sid 5 reads the OLD t)
+    assert fmt.read("t", snapshot_id=5).count() == 100
+    assert fmt.read("log", snapshot_id=5).count() == 50
+    assert fmt.current_snapshot_id() == 6
+    manifests = os.listdir(tmp_path / "s" / "manifests")
+    assert sorted(manifests) == ["5.json", "6.json"]
+
+    # tighten to keep_last=1: sid-0's t dir loses its last reference
+    report2 = fmt.expire_snapshots(keep_last=1)
+    assert report2["removed_manifests"] == 1
+    assert report2["removed_dirs"] == 1           # the old full t dir
+    assert fmt.read("t").count() == 50
+    assert fmt.read("log").count() == 50          # deltas all still referenced
 
 
 def test_bucketed_merge_into_absent_bucket(spark, tmp_path):
