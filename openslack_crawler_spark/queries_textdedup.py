@@ -486,3 +486,89 @@ FROM m
 """
 
 REGISTRY["quality_gopher"] = (q_quality_gopher, SQL_QUALITY_GOPHER)
+
+
+# --- end-to-end corpus cleaning (the 100 TB pretraining-data shape) -----------
+def q_corpus_clean_pipeline(spark, sf_dir):
+    """The composed training-data pipeline in ONE DataFrame job:
+    Gopher-style quality gate → language gate (en markers) →
+    exact dedup by normalized fingerprint (first doc_id wins) →
+    per-source corpus stats. Every stage is a narrow filter or one
+    hash shuffle; nothing quadratic — the shape that holds at 100 TB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = words_col(F.col("text"))
+    n_words = F.size(w)
+    total_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wlen_micro = F.when(
+        n_words > 0, F.floor(total_chars * 1000000 / n_words)
+    ).otherwise(0)
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    alpha_ratio_micro = F.when(
+        n_words > 0, F.floor(alpha_words * 1000000 / n_words)
+    ).otherwise(0)
+    stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    keep = (
+        (n_words >= 10) & (n_words <= 1000)
+        & (mean_wlen_micro >= 3000000) & (mean_wlen_micro <= 10000000)
+        & (alpha_ratio_micro >= 800000)
+        & (stop >= 2)
+    )
+    is_en = F.size(F.filter(w, lambda x: x.isin("the", "and", "of", "a"))) >= 1
+    enriched = docs.select(
+        "doc_id", "source",
+        n_words.alias("n_tokens"),
+        h60(F.concat_ws(" ", w)).alias("fingerprint"),
+        keep.alias("keep"),
+        is_en.alias("is_en"),
+    ).filter(F.col("keep") & F.col("is_en"))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w_fp = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    deduped = (
+        enriched.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+    )
+
+
+SQL_CORPUS_CLEAN_PIPELINE = f"""
+WITH words AS (
+  SELECT doc_id, source, {SQL_WORDS.format(t='text')} AS w FROM documents
+), m AS (
+  SELECT doc_id, source, len(w) AS n_tokens,
+         cast(concat('0x', substr(md5(array_to_string(w, ' ')), 1, 15)) AS bigint) AS fingerprint,
+         CASE WHEN len(w) > 0
+              THEN floor(list_sum(list_transform(w, x -> length(x))) * 1000000 / len(w))
+              ELSE 0 END AS mean_word_len_micro,
+         CASE WHEN len(w) > 0
+              THEN floor(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1000000 / len(w))
+              ELSE 0 END AS alpha_ratio_micro,
+         len(list_filter(w, x -> x IN ({', '.join("'" + s + "'" for s in STOPWORDS)}))) AS n_stopwords,
+         len(list_filter(w, x -> x IN ('the', 'and', 'of', 'a'))) AS en_markers
+  FROM words
+), kept AS (
+  SELECT doc_id, source, n_tokens, fingerprint FROM m
+  WHERE n_tokens >= 10 AND n_tokens <= 1000
+    AND mean_word_len_micro >= 3000000 AND mean_word_len_micro <= 10000000
+    AND alpha_ratio_micro >= 800000
+    AND n_stopwords >= 2
+    AND en_markers >= 1
+), deduped AS (
+  SELECT source, n_tokens FROM (
+    SELECT source, n_tokens,
+           row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT source, count(*) AS docs_kept,
+       cast(sum(n_tokens) AS bigint) AS tokens_total
+FROM deduped GROUP BY source
+"""
+
+REGISTRY["corpus_clean_pipeline"] = (q_corpus_clean_pipeline, SQL_CORPUS_CLEAN_PIPELINE)
