@@ -127,24 +127,30 @@ def q_ann_ivf_topk(spark, sf_dir, k_cells: int | None = None, use_numpy_assign: 
             )
         )
     else:
-        # cell assignment: nearest centroid by cosine (broadcast K rows)
+        # cell assignment: nearest centroid by cosine (broadcast K rows).
+        # Rank ONCE over the crossJoin and materialize — `assigned` and
+        # `probes` are two consumers of the same ranking; without the
+        # checkpoint the O(n·K) cosine crossJoin would execute twice.
         scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
             "c_sim", cosine_expr(F.col("embedding"), F.col("c_emb"))
         )
         w_assign = Window.partitionBy("vec_id").orderBy(
             F.col("c_sim").desc(), F.col("cell").asc()
         )
-        assigned = (
+        ranked = (
             scored.withColumn("crnk", F.row_number().over(w_assign))
-            .filter(F.col("crnk") == 1)
-            .select("vec_id", "embedding", "cell")
+            .filter(F.col("crnk") <= N_PROBE)
+            .select("vec_id", "embedding", "cell", "crnk")
+            .localCheckpoint()
+        )
+        assigned = ranked.filter(F.col("crnk") == 1).select(
+            "vec_id", "embedding", "cell"
         )
         # queries probe their N_PROBE nearest cells
-        probes = (
-            scored.filter(F.col("vec_id") < N_QUERIES)
-            .withColumn("crnk", F.row_number().over(w_assign))
-            .filter(F.col("crnk") <= N_PROBE)
-            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell")
+        probes = ranked.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "cell",
         )
 
     cands = assigned.select(
