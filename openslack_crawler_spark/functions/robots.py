@@ -67,6 +67,12 @@ def parse_robots_txt(text: str, agent: str = "*") -> tuple[float, list[str]]:
                         groups[a]["delay"] = float(val)
                 except ValueError:
                     pass
+            else:
+                # ANY rule line (Allow, Sitemap, unknown keys) ends a UA
+                # run — robotparser treats them as rule lines too;
+                # otherwise the next User-agent would merge into this
+                # group and later Disallows would over-block both agents
+                prev_was_ua = False
     g = groups.get(agent.lower()) or groups.get("*") or {"disallow": [], "delay": None}
     return (
         g["delay"] if g["delay"] is not None else DEFAULT_CRAWL_DELAY,

@@ -23,9 +23,22 @@ def _ckpt(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     a real cluster, where localCheckpoint data dies with an executor),
     else in-memory localCheckpoint (the fast single-node path)."""
     if checkpoint_dir:
+        import warnings  # noqa: PLC0415
+
         sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
+        current = sc.getCheckpointDir()
+        if current is None:
             sc.setCheckpointDir(checkpoint_dir)
+        elif not current.rstrip("/").endswith(checkpoint_dir.rstrip("/").lstrip("./")):
+            warnings.warn(
+                f"checkpoint dir already set to {current}; requested "
+                f"{checkpoint_dir} is ignored (Spark allows one per context)",
+                stacklevel=2,
+            )
+        # checkpoint-file GC relies on
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true, which must
+        # be set at context creation (get_spark does); ContextCleaner
+        # ignores runtime changes
         return df.checkpoint(eager=True)
     return df.localCheckpoint()
 

@@ -94,6 +94,11 @@ def mark_enqueue_filters(
     ok = (F.col("depth") <= F.col("maxdepth")) & (
         F.col("expires").isNull() | (now_expr < F.col("expires"))
     )
+    # NULL depth/maxdepth must yield False, not NULL — a NULL flag would
+    # escape BOTH filter(ok) and filter(~ok) downstream, so the row's
+    # fingerprint would enter neither accepted_seen nor dropped_seen and
+    # the URL could be re-crawled later.
+    ok = F.coalesce(ok, F.lit(False))
     if blacklist is not None:
         bl = F.broadcast(
             blacklist.select("appid", "crawlid").distinct()

@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # GC reliable-checkpoint files once their RDDs are unreachable —
+        # iterative ops (connected_components) checkpoint every round and
+        # would otherwise accumulate O(history) files on a long crawl
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # ≤31g keeps JVM compressed oops; measured 48g heaps GC-thrash

@@ -64,7 +64,9 @@ class IcebergFormat:
         try:
             row = self.spark.sql(
                 f"SELECT snapshot_id FROM {self._qualified(table)}.snapshots "
-                "ORDER BY committed_at DESC LIMIT 1"
+                # committed_at is ms-granular: two rapid commits can tie,
+                # so break ties on snapshot_id for a deterministic pick
+                "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
             ).collect()
             return int(row[0]["snapshot_id"]) if row else None
         except Exception:

@@ -100,8 +100,11 @@ class SnapshotParquetFormat:
         rewritten per round). Unchanged tables carry over."""
         parent = self.current_manifest() or {"tables": {}, "snapshot_id": -1}
         sid = parent["snapshot_id"] + 1
-        tables: dict[str, list] = {
-            k: (v if isinstance(v, list) else [v]) for k, v in parent["tables"].items()
+        # Carry bucketed entries (dicts) through unchanged — wrapping one in a
+        # list corrupts the manifest and breaks read()/expire_snapshots.
+        tables: dict[str, list | dict] = {
+            k: (v if isinstance(v, (list, dict)) else [v])
+            for k, v in parent["tables"].items()
         }
 
         def _write(name: str, df: DataFrame) -> str:
@@ -110,8 +113,18 @@ class SnapshotParquetFormat:
             return path
 
         for name, df in (updates or {}).items():
+            if isinstance(tables.get(name), dict):
+                raise ValueError(
+                    f"table {name!r} has a bucketed layout; route writes through "
+                    "merge_upsert_bucketed (or compact) instead of commit/append"
+                )
             tables[name] = [_write(name, df)]
         for name, df in (appends or {}).items():
+            if isinstance(tables.get(name), dict):
+                raise ValueError(
+                    f"table {name!r} has a bucketed layout; route writes through "
+                    "merge_upsert_bucketed (or compact) instead of commit/append"
+                )
             tables.setdefault(name, [])
             tables[name] = tables[name] + [_write(name, df)]
         manifest = {

@@ -90,3 +90,24 @@ def test_dense_seq_matches_global_rank(spark):
     assert [r.s for r in rows] == list(range(7, 507))
     resorted = sorted(rows, key=lambda r: (r.k, r.id))
     assert [r.s for r in resorted] == list(range(7, 507))
+
+
+def test_mark_enqueue_filters_null_flag_coalesced(spark):
+    """Round-3 ADVICE: NULL depth/maxdepth must flag False, not NULL —
+    a NULL flag escapes both filter(ok) and filter(~ok), so the row's
+    fingerprint would enter neither accepted nor dropped seen and the
+    URL could be re-crawled later."""
+    df = spark.createDataFrame(
+        [
+            ("ok", 1, 3, None),
+            ("null_depth", None, 3, None),
+            ("null_maxdepth", 1, None, None),
+        ],
+        "url string, depth int, maxdepth int, expires timestamp",
+    ).withColumn("appid", F.lit("a")).withColumn("crawlid", F.lit("c"))
+    flagged = fr.mark_enqueue_filters(df)
+    ok = {r.url for r in flagged.filter(F.col("_enqueue_ok")).collect()}
+    dropped = {r.url for r in flagged.filter(~F.col("_enqueue_ok")).collect()}
+    assert ok == {"ok"}
+    assert dropped == {"null_depth", "null_maxdepth"}
+    assert ok | dropped == {r.url for r in df.collect()}  # nothing escapes

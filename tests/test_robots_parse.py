@@ -72,3 +72,18 @@ def test_table_and_filter_integration(spark):
     )
     kept = {r.url for r in robots_filter(batch, robots).collect()}
     assert kept == {"http://h1.example/ok", "http://h2.example/private/y"}
+
+
+def test_unhandled_rule_line_ends_ua_run():
+    """Round-3 ADVICE: an Allow/Sitemap/unknown line between a group's
+    rules and the next User-agent must end the UA run — otherwise the
+    next agent merges into the previous group and later Disallows
+    over-block both (robotparser treats any rule line as a separator)."""
+    txt = (
+        "User-agent: a\n"
+        "Allow: /public\n"
+        "User-agent: b\n"
+        "Disallow: /only-b\n"
+    )
+    assert parse_robots_txt(txt, agent="a") == (1.0, [])
+    assert parse_robots_txt(txt, agent="b") == (1.0, ["/only-b"])

@@ -204,3 +204,41 @@ def test_bucketed_seen_join_is_shuffle_free(spark, tmp_path):
     expected = cands.join(seen, "url_hash", "left_anti").count()
     assert j.count() == expected
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_table_survives_plain_commits(spark, tmp_path):
+    """Round-3 ADVICE (medium): a plain commit/append to OTHER tables must
+    carry a bucketed table's manifest entry through unchanged — the crawl
+    round loop commits every round, so bucketed tables must coexist with
+    it. Direct commit/append to the bucketed table itself is an explicit
+    error (route through merge_upsert_bucketed)."""
+    import pytest
+
+    from openslack_crawler_spark.sources.table_format import SnapshotParquetFormat
+
+    fmt = SnapshotParquetFormat(str(tmp_path / "store"), spark)
+    docs = spark.range(1000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    fmt.merge_upsert_bucketed("docs", docs, "k", num_buckets=8)
+
+    # a plain commit to an unrelated table (what run_crawl does per round)
+    counters = spark.range(3).select(F.col("id").alias("c"))
+    fmt.commit({"counters": counters})
+    fmt.append("counters", counters)
+
+    # the bucketed entry survived: read() works, layout intact
+    entry = fmt.current_manifest()["tables"]["docs"]
+    assert isinstance(entry, dict) and entry["num_buckets"] == 8
+    assert fmt.read("docs").count() == 1000
+    # expire_snapshots no longer trips over the entry either
+    fmt.expire_snapshots(keep_last=2)
+    assert fmt.read("docs").count() == 1000
+
+    # writing to the bucketed table through the plain path is refused
+    with pytest.raises(ValueError, match="bucketed layout"):
+        fmt.commit({"docs": docs})
+    with pytest.raises(ValueError, match="bucketed layout"):
+        fmt.append("docs", docs)
+    # and a later bucketed merge still works
+    delta = spark.range(1000, 1010).select(F.col("id").alias("k"), F.lit(-1).cast("long").alias("v"))
+    fmt.merge_upsert_bucketed("docs", delta, "k")
+    assert fmt.read("docs").count() == 1010
