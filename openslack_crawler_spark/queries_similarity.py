@@ -19,9 +19,12 @@ picks SMJ/broadcast per AQE stats).
 
 from __future__ import annotations
 
+import hashlib
 import math
 
-from pyspark.sql import Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .queries_textdedup import h60
@@ -121,15 +124,86 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+# --- vectorized LSH projection kernel (the scale path) --------------------------
+def _h60_py(s: str) -> int:
+    """Driver-side twin of the portable 60-bit hash (h60 /
+    DuckDB ('0x'||substr(md5(s),1,15))::bigint)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _plane_matrix(n_planes: int, dim: int, band: int | None = None) -> np.ndarray:
+    """(n_planes, dim) int64 matrix of the SAME hash-derived pseudo-random
+    weights the expression path uses: pmod(h60(key), 2001) - 1000 where
+    key is 'j_i' (single set) or 'band_j_i' (banded)."""
+    g = np.empty((n_planes, dim), dtype=np.int64)
+    for j in range(n_planes):
+        for i in range(dim):
+            key = f"{j}_{i}" if band is None else f"{band}_{j}_{i}"
+            g[j, i] = _h60_py(key) % 2001 - 1000
+    return g
+
+
+def lsh_buckets_numpy(
+    emb: DataFrame, n_planes: int, n_bands: int | None = None
+) -> DataFrame:
+    """Arrow-batched signed-random-projection: one int64 matmul per
+    batch instead of exploding n × dim × planes (× bands) rows through a
+    groupBy. Bit-exact twin of the expression path — the projection is
+    pure integer arithmetic (x_int ≤ 1000, g ≤ 1000, dim=64 → |s| ≤
+    6.4e7, no int64 overflow), so sign tests and bucket bitmasks agree
+    exactly. At 10^10 vectors × 23 planes × 3 bands the expression path
+    shuffles ~4.4k rows per vector (~10^13 total); this kernel shuffles
+    n·bands rows and does the FLOPS inside one whole-batch matmul.
+    Output: (vec_id, bucket) or (vec_id, band, bucket) when banded."""
+    bands = [None] if n_bands is None else list(range(n_bands))
+    pow2 = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    def project(batches):
+        mats: dict[int, list[np.ndarray]] = {}  # dim → per-band matrices
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.floor(
+                np.array([list(v) for v in pdf["embedding"]], dtype=np.float64) * 1000
+            ).astype(np.int64)
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            dim = x.shape[1]
+            if dim not in mats:  # hash-derived, so rebuild-per-worker is exact
+                mats[dim] = [_plane_matrix(n_planes, dim, b) for b in bands]
+            for b, g in zip(bands, mats[dim]):
+                buckets = (((x @ g.T) > 0) * pow2).sum(axis=1)
+                cols = {"vec_id": vec_ids}
+                if b is not None:
+                    cols["band"] = np.full(len(vec_ids), b, dtype=np.int32)
+                cols["bucket"] = buckets
+                yield pd.DataFrame(cols)
+
+    schema = (
+        "vec_id long, bucket long"
+        if n_bands is None
+        else "vec_id long, band int, bucket long"
+    )
+    return emb.select("vec_id", "embedding").mapInPandas(project, schema=schema)
+
+
 # --- LSH bucket assignment (signed random projection) --------------------------
-def q_lsh_buckets(spark, sf_dir, n_planes: int | None = None):
+def q_lsh_buckets(
+    spark, sf_dir, n_planes: int | None = None, use_numpy_project: bool | None = None
+):
     """n_planes=None derives the plane count from the corpus size
     (n_planes_for); pass it explicitly to pin a configuration. At the
     sandbox SFs the derived value equals the clamped minimum (4), which
-    is what the static SQL oracle encodes."""
+    is what the static SQL oracle encodes — and at that minimum the
+    expression path stays the default so the driver-checked plan is the
+    oracle's twin. Beyond the minimum the numpy matmul kernel
+    (lsh_buckets_numpy, bit-exact) takes over by default."""
     emb = _t(spark, sf_dir, "embeddings")
     if n_planes is None:
         n_planes = n_planes_for(emb.count())
+    if use_numpy_project is None:
+        use_numpy_project = n_planes > N_PLANES
+    if use_numpy_project:
+        return lsh_buckets_numpy(emb, n_planes)
     # integerized embedding: floor(x * 1000) — exact in both engines
     iv = emb.select(
         "vec_id",
@@ -300,16 +374,29 @@ WHERE a.vec_id < b.vec_id
 N_BANDS = 3
 
 
-def q_ann_lsh_multiband_topk(spark, sf_dir, n_planes: int | None = None, n_bands: int = N_BANDS):
+def q_ann_lsh_multiband_topk(
+    spark,
+    sf_dir,
+    n_planes: int | None = None,
+    n_bands: int = N_BANDS,
+    use_numpy_project: bool | None = None,
+):
     """N_BANDS independent plane sets; a candidate pair only needs to
     collide in ONE band (recall ≈ 1-(1-p^planes)^bands vs single-band
     p^planes). Each band is an equi-join on (band, bucket) — the union
     of per-band candidate sets is deduped before the cosine ranking, so
     the expensive kernel runs once per distinct pair. The scale shape:
-    candidate volume is bands × (n · bucket_size), still never O(n²)."""
+    candidate volume is bands × (n · bucket_size), still never O(n²).
+    Bucket projection defaults to the bit-exact numpy matmul kernel
+    above the clamped plane minimum (same policy as q_lsh_buckets)."""
     emb = _t(spark, sf_dir, "embeddings")
     if n_planes is None:
         n_planes = n_planes_for(emb.count())
+    if use_numpy_project is None:
+        use_numpy_project = n_planes > N_PLANES
+    if use_numpy_project:
+        buckets = lsh_buckets_numpy(emb, n_planes, n_bands=n_bands)
+        return _multiband_rank(emb, buckets)
     iv = emb.select(
         "vec_id",
         F.posexplode(
@@ -342,6 +429,12 @@ def q_ann_lsh_multiband_topk(spark, sf_dir, n_planes: int | None = None, n_bands
         .groupBy("vec_id", "band")
         .agg(F.sum("bit").cast("long").alias("bucket"))
     )
+    return _multiband_rank(emb, buckets)
+
+
+def _multiband_rank(emb: DataFrame, buckets: DataFrame):
+    """Shared tail of the multiband query: per-band equi-join, pair
+    dedup, one cosine ranking per distinct pair."""
     be = emb.join(buckets, "vec_id")
     queries = be.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),

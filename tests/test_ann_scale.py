@@ -94,3 +94,42 @@ def test_numpy_assign_kernel_matches_expression_path(spark):
         for r in q_ann_ivf_topk(spark, SF0001, use_numpy_assign=True).collect()
     )
     assert np_rows == expr_rows
+
+
+def test_numpy_lsh_projection_matches_expression_path(spark):
+    """The Arrow-batched matmul projection (round-3 verdict #4) must be
+    bit-exact vs the explode/groupBy expression path — the projection is
+    pure integer arithmetic, so buckets must AGREE EXACTLY, at the
+    clamped minimum and at a derived-scale plane count."""
+    for planes in (4, 9):
+        expr = {
+            (r.vec_id, r.bucket)
+            for r in q_lsh_buckets(
+                spark, SF0001, n_planes=planes, use_numpy_project=False
+            ).collect()
+        }
+        np_ = {
+            (r.vec_id, r.bucket)
+            for r in q_lsh_buckets(
+                spark, SF0001, n_planes=planes, use_numpy_project=True
+            ).collect()
+        }
+        assert np_ == expr, f"planes={planes}"
+
+
+def test_numpy_multiband_matches_expression_path(spark):
+    from openslack_crawler_spark.queries_similarity import q_ann_lsh_multiband_topk
+
+    expr = sorted(
+        tuple(r)
+        for r in q_ann_lsh_multiband_topk(
+            spark, SF0001, n_planes=6, use_numpy_project=False
+        ).collect()
+    )
+    np_ = sorted(
+        tuple(r)
+        for r in q_ann_lsh_multiband_topk(
+            spark, SF0001, n_planes=6, use_numpy_project=True
+        ).collect()
+    )
+    assert np_ == expr
