@@ -5,12 +5,17 @@ closure. Component id = min doc_id in the cluster (the kept copy)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from .operators.components import connected_components
 from .queries_textdedup import (
     SQL_SHINGLES,
     SQL_WORDS,
+    STOPWORDS,
     LSH_BAND_SIZE,
     MINHASH_PERMS,
+    corpus_clean_docs,
+    minhash_band_pairs,
     q_minhash_lsh_pairs,
 )
 
@@ -54,6 +59,100 @@ SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node
 """
 
 
+# --- the full pretraining-corpus pipeline with FUZZY dedup ---------------------
+def q_corpus_clean_fuzzy(spark, sf_dir, checkpoint_dir: str | None = None):
+    """The actual 100 TB pretraining pipeline end-to-end: Gopher quality
+    gate → language gate → exact fingerprint dedup → MinHash-band
+    candidate pairs → connected components → keep the min doc_id per
+    near-dup cluster → per-source corpus stats. Stage costs: narrow
+    filters, one hash shuffle for the exact dedup, one banded equi-join
+    (never all-pairs) for candidates, O(diameter) label-propagation
+    rounds, one broadcast-able anti-join to drop cluster losers."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    # two consumers (pair generation + survivor stats) — materialize so
+    # the gate/dedup pipeline runs once
+    cleaned = corpus_clean_docs(docs).localCheckpoint()
+    pairs = minhash_band_pairs(cleaned.select("doc_id", "w"))
+    comp = connected_components(
+        pairs, src="doc_a", dst="doc_b", checkpoint_dir=checkpoint_dir
+    )
+    losers = comp.filter(F.col("component") < F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = cleaned.join(losers, "doc_id", "left_anti")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+    )
+
+
+_SQL_STOP_LIST = ", ".join("'" + s + "'" for s in STOPWORDS)
+
+SQL_CORPUS_CLEAN_FUZZY = f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, source, {SQL_WORDS.format(t='text')} AS w FROM documents
+), m AS (
+  SELECT doc_id, source, w, len(w) AS n_tokens,
+         cast(concat('0x', substr(md5(array_to_string(w, ' ')), 1, 15)) AS bigint) AS fingerprint,
+         CASE WHEN len(w) > 0
+              THEN floor(list_sum(list_transform(w, x -> length(x))) * 1000000 / len(w))
+              ELSE 0 END AS mean_word_len_micro,
+         CASE WHEN len(w) > 0
+              THEN floor(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1000000 / len(w))
+              ELSE 0 END AS alpha_ratio_micro,
+         len(list_filter(w, x -> x IN ({_SQL_STOP_LIST}))) AS n_stopwords,
+         len(list_filter(w, x -> x IN ('the', 'and', 'of', 'a'))) AS en_markers
+  FROM words
+), kept AS (
+  SELECT doc_id, source, w, n_tokens FROM (
+    SELECT doc_id, source, w, n_tokens,
+           row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+    FROM m
+    WHERE n_tokens >= 10 AND n_tokens <= 1000
+      AND mean_word_len_micro >= 3000000 AND mean_word_len_micro <= 10000000
+      AND alpha_ratio_micro >= 800000
+      AND n_stopwords >= 2
+      AND en_markers >= 1
+  ) WHERE rn = 1
+), sh AS (
+  SELECT doc_id, unnest({SQL_SHINGLES}) AS sh FROM kept
+), hx AS (
+  SELECT doc_id, cast(perm AS int) AS perm,
+         cast(concat('0x', substr(md5(concat(perm, '|', sh)), 1, 15)) AS bigint) AS h
+  FROM sh, generate_series(1, {MINHASH_PERMS}) AS t(perm)
+), sig AS (
+  SELECT doc_id, perm, min(h) AS minhash FROM hx GROUP BY doc_id, perm
+), bands AS (
+  SELECT doc_id, cast((perm - 1) // {LSH_BAND_SIZE} AS int) AS band,
+         string_agg(cast(minhash AS varchar), ',' ORDER BY perm) AS band_sig
+  FROM sig GROUP BY doc_id, cast((perm - 1) // {LSH_BAND_SIZE} AS int)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node
+), losers AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING min(comp) < node
+)
+SELECT source, count(*) AS docs_kept,
+       cast(sum(n_tokens) AS bigint) AS tokens_total
+FROM kept
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+GROUP BY source
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "corpus_clean_fuzzy": (q_corpus_clean_fuzzy, SQL_CORPUS_CLEAN_FUZZY),
 }

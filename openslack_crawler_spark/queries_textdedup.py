@@ -131,6 +131,12 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", words_col(F.col("text")).alias("w")
     )
+    return minhash_band_pairs(docs)
+
+
+def minhash_band_pairs(docs):
+    """MinHash-band candidate pairs over (doc_id, w) — the reusable
+    fuzzy-dedup stage (also composed into corpus_clean_fuzzy)."""
     sh = docs.select(
         "doc_id", F.explode(shingles_col(F.col("w"))).alias("sh")
     ).distinct()
@@ -496,6 +502,19 @@ def q_corpus_clean_pipeline(spark, sf_dir):
     per-source corpus stats. Every stage is a narrow filter or one
     hash shuffle; nothing quadratic — the shape that holds at 100 TB."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    deduped = corpus_clean_docs(docs)
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+    )
+
+
+def corpus_clean_docs(docs):
+    """Shared gate+exact-dedup stage of the corpus pipelines: Gopher
+    quality gate → en-marker language gate → fingerprint dedup (min
+    doc_id wins). Returns (doc_id, source, n_tokens, w) survivors —
+    `w` is carried so downstream fuzzy dedup can shingle without
+    re-tokenizing."""
     w = words_col(F.col("text"))
     n_words = F.size(w)
     total_chars = F.aggregate(
@@ -519,6 +538,7 @@ def q_corpus_clean_pipeline(spark, sf_dir):
     enriched = docs.select(
         "doc_id", "source",
         n_words.alias("n_tokens"),
+        w.alias("w"),
         h60(F.concat_ws(" ", w)).alias("fingerprint"),
         keep.alias("keep"),
         is_en.alias("is_en"),
@@ -526,14 +546,10 @@ def q_corpus_clean_pipeline(spark, sf_dir):
     from pyspark.sql import Window  # noqa: PLC0415
 
     w_fp = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
-    deduped = (
+    return (
         enriched.withColumn("_rn", F.row_number().over(w_fp))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    return deduped.groupBy("source").agg(
-        F.count(F.lit(1)).alias("docs_kept"),
-        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        .select("doc_id", "source", "n_tokens", "w")
     )
 
 
