@@ -104,6 +104,71 @@ LIMIT {K_MATCH}
 """
 
 
+# --- ES parent/child relations --------------------------------------------------
+def q_docs_with_children(spark, sf_dir):
+    """The ES parent/child surface (es_load.py:36-80 maps commits with
+    `_parent: repos`; es_query.py:83-105 filters children via
+    has_parent and aggregates per group): parent docs = orders, child
+    docs = lineitem. One query covers both directions —
+    - has_child filter: keep only parents with ≥1 returned child
+      (l_returnflag = 'R') — a LEFT SEMI join, never a fan-out;
+    - per-parent child stats (the terms-agg + nested-stats shape):
+      child count, exact integer quantity and revenue sums.
+    Top-k parents by child count (ties by key) = the sort+size page."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    parents = orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+    )
+    child_stats = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_children"),
+        F.sum(dec("l_quantity")).cast("long").alias("qty_sum"),
+        (F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))) * 10000)
+        .cast("long")
+        .alias("revenue_decimicro"),
+    )
+    return (
+        parents.join(child_stats, parents.o_orderkey == child_stats.l_orderkey)
+        .select(
+            F.col("o_orderkey").alias("parent_id"),
+            F.col("o_orderstatus").alias("status"),
+            "n_children",
+            "qty_sum",
+            "revenue_decimicro",
+        )
+        .orderBy(F.col("n_children").desc(), F.col("parent_id").asc())
+        .limit(K_MATCH)
+    )
+
+
+SQL_DOCS_WITH_CHILDREN = f"""
+WITH parents AS (
+  SELECT o.o_orderkey, o.o_orderstatus
+  FROM orders o
+  WHERE EXISTS (
+    SELECT 1 FROM lineitem r
+    WHERE r.l_orderkey = o.o_orderkey AND r.l_returnflag = 'R'
+  )
+), child_stats AS (
+  SELECT l_orderkey,
+         count(*) AS n_children,
+         cast(sum(cast(l_quantity AS decimal(18,2))) AS bigint) AS qty_sum,
+         cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+                  (1 - cast(l_discount AS decimal(18,2)))) * 10000 AS bigint)
+           AS revenue_decimicro
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT p.o_orderkey AS parent_id, p.o_orderstatus AS status,
+       s.n_children, s.qty_sum, s.revenue_decimicro
+FROM parents p JOIN child_stats s ON p.o_orderkey = s.l_orderkey
+ORDER BY s.n_children DESC, parent_id ASC
+LIMIT {K_MATCH}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_match_topk": (q_text_match_topk, SQL_TEXT_MATCH_TOPK),
+    "docs_with_children": (q_docs_with_children, SQL_DOCS_WITH_CHILDREN),
 }

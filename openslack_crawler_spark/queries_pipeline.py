@@ -295,6 +295,217 @@ def q_crawl_e2e(spark, sf_dir):
     )
 
 
+# --- crawl summary with a FULL SQL oracle (round-3 verdict #8) -----------------
+SUMMARY_SEEDS = 200
+SUMMARY_PAGES = 180      # seeds 180..199 duplicate pages 0..19
+SUMMARY_HOSTS = 20
+SUMMARY_K = 4
+SUMMARY_MAXDEPTH = 2
+SUMMARY_ROUNDS = 3
+
+
+def _summary_seeds(spark):
+    """SQL-expressible seed list (arithmetic only — no xxhash, unlike
+    synthetic.gen_seeds — so a DuckDB oracle can recompute the crawl).
+    Three kinds of seeds:
+      i < 150   base pages: page i on host (i%20)+1
+      150..179  child-dups: the j=1 OUTLINK of base seed i-150 — these
+                pre-seed pages the crawl will re-discover, so the seen
+                anti-join fires in-round (deduped > 0 in the summary)
+      180..199  exact URL dups of base i-180 (bootstrap first-wins)"""
+    i = F.col("id")
+    base = F.when(i < 180, F.when(i < 150, i).otherwise(i - 150)).otherwise(i - 180)
+    bhost = (base % SUMMARY_HOSTS) + 1
+    cpage = (base * 31 + 20) % 1_000_000  # synthetic graph child j=1
+    chost = (bhost + cpage) % SUMMARY_HOSTS + 1
+    is_childdup = (i >= 150) & (i < 180)
+    page = F.when(is_childdup, cpage).otherwise(base)
+    host = F.when(is_childdup, chost).otherwise(bhost)
+    return spark.range(SUMMARY_SEEDS).select(
+        F.concat(
+            F.lit("http://host-"), host.cast("string"),
+            F.lit(".example/p/"), page.cast("string"),
+        ).alias("url"),
+        ((i * 37) % 100 + 1).cast("int").alias("priority"),
+        F.lit("app-1").alias("appid"),
+        F.lit("crawl-1").alias("crawlid"),
+        i.alias("enqueue_seq"),
+    )
+
+
+def _summary_robots(spark):
+    """Hosts divisible by 5 disallow /private; delays don't affect counts."""
+    hid = F.col("id")
+    return spark.range(1, SUMMARY_HOSTS + 1).select(
+        F.concat(F.lit("host-"), hid.cast("string"), F.lit(".example")).alias("host"),
+        F.lit(1.0).alias("crawl_delay"),
+        F.lit(8).alias("max_parallel"),
+        F.when(hid % 5 == 0, F.array(F.lit("/private")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("disallow"),
+    )
+
+
+def q_crawl_e2e_summary(spark, sf_dir):
+    """Run a REAL 3-round crawl through the engine (bootstrap → dequeue
+    → robots → fetch → extract → dedup → seen → enqueue, one snapshot
+    per round), then summarize per round from the engine's own stored
+    state: fetched + enqueued from the counters table, candidate volume
+    from the stored documents' link spans, seen_size by TIME-TRAVEL
+    reading the seen table at each round's snapshot. The DuckDB oracle
+    recomputes every number independently by unrolling the 3 rounds in
+    SQL over the same arithmetic page graph — the strong-form check of
+    the whole scheduling loop (dedup semantics, robots, depth guard,
+    per-host budget, seq assignment)."""
+    import shutil
+    import tempfile
+
+    from .plans import round_job as rj
+
+    root = tempfile.mkdtemp(prefix="crawl_summary_")
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = rj.CrawlConfig(
+        n_hosts=SUMMARY_HOSTS, k_per_host=SUMMARY_K, maxdepth=SUMMARY_MAXDEPTH
+    )
+    fmt = rj.run_crawl(
+        spark, root, _summary_seeds(spark), _summary_robots(spark), cfg,
+        rounds=SUMMARY_ROUNDS,
+    )
+    counters = fmt.read("counters")
+    docs = fmt.read("documents")
+    logs = fmt.read("fetch_log")
+    rows = []
+    for r in range(1, SUMMARY_ROUNDS + 1):
+        by_metric = {
+            m["metric"]: m["v"]
+            for m in counters.filter(F.col("round_id") == r)
+            .groupBy("metric")
+            .agg(F.sum("value").alias("v"))
+            .collect()
+        }
+        fetched = int(by_metric.get("scheduler/dequeued", 0))
+        enqueued = int(by_metric.get("scheduler/enqueued", 0))
+        n_cands = (
+            docs.filter(F.col("fetched_round") == r)
+            .join(
+                logs.filter(F.col("round_id") == r).select("url_hash", "depth"),
+                "url_hash",
+            )
+            .filter(F.col("depth") < SUMMARY_MAXDEPTH)
+            .select(F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "link")
+            .count()
+        )
+        seen_size = fmt.read("seen", snapshot_id=r).count()
+        rows.append((r, fetched, enqueued, n_cands - enqueued, seen_size))
+    fmt.destroy()
+    return spark.createDataFrame(
+        rows, "round_id int, fetched long, enqueued long, deduped long, seen_size long"
+    )
+
+
+def _summary_round_sql(r: int) -> str:
+    """One unrolled crawl round as DuckDB CTE fragments (state threads
+    through f{r}/s{r}; scalar next_seq via nq{r})."""
+    p = r - 1
+    return f"""
+, pop{r} AS (
+  SELECT * FROM (
+    SELECT f.*, row_number() OVER (
+      PARTITION BY host ORDER BY score DESC, seq ASC) AS hr
+    FROM f{p} f
+  ) WHERE hr <= {SUMMARY_K}
+), batch{r} AS (
+  SELECT * FROM pop{r} WHERE NOT (host % 5 = 0 AND private)
+), cand{r} AS (
+  -- crank = the engine's _cand_rank pop order (parent score desc,
+  -- parent seq asc, anchor offset asc), computed where score/seq still
+  -- unambiguously mean the PARENT's
+  SELECT 'http://host-' || th || '.example' ||
+         (CASE WHEN pvt THEN '/private/' ELSE '/p/' END) || c AS url,
+         th AS host, c AS page, pvt AS private,
+         depth + 1 AS depth, priority - 10 AS priority,
+         cast(priority - 10 AS double) AS score,
+         crank
+  FROM (
+    SELECT b.depth, b.priority, j,
+           (b.page * 31 + j * 7 + 13) % 1000000 AS c,
+           ((b.host + (b.page * 31 + j * 7 + 13) % 1000000) % {SUMMARY_HOSTS}) + 1 AS th,
+           ((b.page * 31 + j * 7 + 13) % 1000000) % 7 = 0 AS pvt,
+           row_number() OVER (ORDER BY b.score DESC, b.seq ASC, j ASC) AS crank
+    FROM batch{r} b, generate_series(1, 8) AS t(j)
+    WHERE b.depth < {SUMMARY_MAXDEPTH}
+      AND j <= (b.page * 2654435761 + 97) % 9
+  )
+), nq{r} AS (
+  SELECT nq + (SELECT count(*) FROM (
+    SELECT DISTINCT url FROM cand{r}
+    WHERE url NOT IN (SELECT url FROM s{p}))) AS nq
+  FROM nq{p}
+), surv{r} AS (
+  SELECT url, host, page, private, depth, priority, score,
+         (SELECT nq FROM nq{p}) + row_number() OVER (ORDER BY crank) - 1 AS seq
+  FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY url ORDER BY crank) AS urn
+    FROM cand{r} c
+    WHERE url NOT IN (SELECT url FROM s{p})
+  ) WHERE urn = 1
+), s{r} AS (
+  SELECT url FROM s{p} UNION ALL SELECT url FROM surv{r}
+), f{r} AS (
+  SELECT url, host, page, private, depth, priority, score, seq FROM f{p}
+  WHERE url NOT IN (SELECT url FROM pop{r})
+  UNION ALL
+  SELECT url, host, page, private, depth, priority, score, seq FROM surv{r}
+)"""
+
+
+SQL_CRAWL_E2E_SUMMARY = (
+    f"""
+WITH seeds AS (
+  SELECT i,
+         CASE WHEN i >= 150 AND i < 180 THEN cpage ELSE base END AS page,
+         CASE WHEN i >= 150 AND i < 180 THEN chost ELSE bhost END AS host,
+         (i * 37) % 100 + 1 AS priority
+  FROM (
+    SELECT i, base, bhost, cpage, (bhost + cpage) % {SUMMARY_HOSTS} + 1 AS chost
+    FROM (
+      SELECT i, base, base % {SUMMARY_HOSTS} + 1 AS bhost,
+             (base * 31 + 20) % 1000000 AS cpage
+      FROM (
+        SELECT i, CASE WHEN i < 150 THEN i
+                       WHEN i < 180 THEN i - 150
+                       ELSE i - 180 END AS base
+        FROM generate_series(0, {SUMMARY_SEEDS - 1}) AS t(i)
+      )
+    )
+  )
+), f0 AS (
+  SELECT 'http://host-' || host || '.example/p/' || page AS url,
+         host, page, false AS private, 0 AS depth, priority,
+         cast(priority AS double) AS score, i AS seq
+  FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY page, host ORDER BY i) AS rn
+    FROM seeds s
+  ) WHERE rn = 1
+), s0 AS (
+  SELECT url FROM f0
+), nq0 AS (
+  SELECT max(seq) + 1 AS nq FROM f0
+)"""
+    + "".join(_summary_round_sql(r) for r in range(1, SUMMARY_ROUNDS + 1))
+    + "\nUNION ALL\n".join(
+        f"""
+SELECT {r} AS round_id,
+       (SELECT count(*) FROM batch{r}) AS fetched,
+       (SELECT count(*) FROM surv{r}) AS enqueued,
+       (SELECT count(*) FROM cand{r}) - (SELECT count(*) FROM surv{r}) AS deduped,
+       (SELECT count(*) FROM s{r}) AS seen_size"""
+        for r in range(1, SUMMARY_ROUNDS + 1)
+    )
+)
+
+
 # --- bloom-prefiltered dedup: same answer as the exact anti-join ---------------
 def q_bloom_prefilter_dedup(spark, sf_dir):
     """The partitioned-bloom seen filter (F3/O2) — the bloom is a
@@ -333,5 +544,6 @@ REGISTRY: dict[str, tuple] = {
     "retry_union": (q_retry_union, SQL_RETRY_UNION),
     "headers_multimap": (q_headers_multimap, SQL_HEADERS_MULTIMAP),
     "crawl_e2e": (q_crawl_e2e, None),
+    "crawl_e2e_summary": (q_crawl_e2e_summary, SQL_CRAWL_E2E_SUMMARY),
     "bloom_prefilter_dedup": (q_bloom_prefilter_dedup, SQL_BLOOM_PREFILTER_DEDUP),
 }
