@@ -104,6 +104,125 @@ LIMIT {K_MATCH}
 """
 
 
+# --- BM25 ranked retrieval -------------------------------------------------------
+# Okapi BM25 with Lucene's non-negative idf, integer-quantized for
+# cross-engine determinism. k1=1.2 and b=0.75 ride as centi-integers;
+# the only double is ln() over an exact integer rational (floored to
+# micro units), same rational in both engines:
+#   idf_micro   = floor(1e6 * ln(1 + (N - df + 0.5)/(df + 0.5)))
+#   dl_ratio_c  = (100 * dl * N) DIV total_len        (dl/avgdl, centi)
+#   norm_c      = (100 - 75) + (75 * dl_ratio_c) DIV 100
+#   tf_milli    = (1000 * tf * (100 + 120)) DIV (100 * tf + 120 * norm_c)
+#   score       = Σ_t idf_micro(t) * tf_milli(t, d)   (exact bigint)
+BM25_K1_CENTI = 120
+BM25_B_CENTI = 75
+
+
+def bm25_topk(docs, terms: list[str], k: int):
+    """BM25 ranking: tf saturation (k1) + doc-length normalization (b)
+    + proper idf — the scoring the ES match surface actually uses
+    (es_query.py relies on ES default similarity = BM25). Same scale
+    shape as match_topk: term-filtered hash-groupBy tf, broadcast df,
+    one corpus-stats scalar join, TakeOrderedAndProject top-k."""
+    words = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    doclen = words.select("doc_id", F.size("w").alias("doc_len"))
+    # one tiny corpus-stats row (N, total_len) — broadcast everywhere
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_len").cast("long").alias("total_len"),
+    )
+    hits = (
+        words.select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf_micro",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.log(
+                    1
+                    + (2 * (F.col("n_docs") - F.col("df")) + 1)
+                    / (2 * F.col("df") + 1)
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "norm_c",
+            F.expr(
+                f"(100 - {BM25_B_CENTI}) + "
+                f"({BM25_B_CENTI} * ((100 * doc_len * n_docs) DIV total_len)) DIV 100"
+            ),
+        )
+        .withColumn(
+            "tf_milli",
+            F.expr(
+                f"(1000 * tf * (100 + {BM25_K1_CENTI})) "
+                f"DIV (100 * tf + {BM25_K1_CENTI} * norm_c)"
+            ),
+        )
+        .withColumn("contrib", F.col("idf_micro") * F.col("tf_milli"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").cast("long").alias("bm25_score"),
+        F.count(F.lit(1)).cast("int").alias("terms_matched"),
+    )
+    return (
+        agg.orderBy(F.col("bm25_score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "terms_matched", "bm25_score")
+    )
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, QUERY_TERMS, K_MATCH)
+
+
+SQL_TEXT_BM25_TOPK = f"""
+WITH words AS (
+  SELECT doc_id, {SQL_WORDS.format(t='text')} AS w FROM documents
+), doclen AS (
+  SELECT doc_id, len(w) AS doc_len FROM words
+), corpus AS (
+  SELECT count(*) AS n_docs, cast(sum(doc_len) AS bigint) AS total_len
+  FROM doclen
+), hits AS (
+  SELECT doc_id, unnest(w) AS term FROM words
+), filtered AS (
+  SELECT doc_id, term FROM hits WHERE term IN ({_TERMS_SQL})
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM filtered GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM filtered GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         cast(floor(1000000.0 * ln(
+           1 + (2 * (c.n_docs - d.df) + 1) / cast(2 * d.df + 1 AS double)
+         )) AS bigint)
+         * ((1000 * t.tf * (100 + {BM25_K1_CENTI})) //
+            (100 * t.tf + {BM25_K1_CENTI} *
+             ((100 - {BM25_B_CENTI}) +
+              ({BM25_B_CENTI} * ((100 * l.doc_len * c.n_docs) // c.total_len)) // 100)))
+           AS contrib
+  FROM tf t
+  JOIN df d ON t.term = d.term
+  JOIN doclen l ON t.doc_id = l.doc_id
+  CROSS JOIN corpus c
+)
+SELECT doc_id, cast(count(*) AS int) AS terms_matched,
+       cast(sum(contrib) AS bigint) AS bm25_score
+FROM scored GROUP BY doc_id
+ORDER BY bm25_score DESC, doc_id ASC
+LIMIT {K_MATCH}
+"""
+
+
 # --- ES parent/child relations --------------------------------------------------
 def q_docs_with_children(spark, sf_dir):
     """The ES parent/child surface (es_load.py:36-80 maps commits with
@@ -170,5 +289,6 @@ LIMIT {K_MATCH}
 
 REGISTRY: dict[str, tuple] = {
     "text_match_topk": (q_text_match_topk, SQL_TEXT_MATCH_TOPK),
+    "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25_TOPK),
     "docs_with_children": (q_docs_with_children, SQL_DOCS_WITH_CHILDREN),
 }
