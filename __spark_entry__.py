@@ -63,12 +63,15 @@ _WINDOW = [
     "ngram_jaccard_pairs", "lang_id", "quality_score", "token_count",
     "doc_fingerprint", "quality_gopher", "corpus_clean_pipeline",
     "corpus_clean_fuzzy",
-    # similarity / ANN
-    "ann_cosine_topk", "lsh_buckets", "ann_lsh_topk",
+    # similarity / ANN ("lsh_buckets" — already driver-verified green in
+    # r02 and shape-subsumed by ann_lsh_topk — yields its slot to the
+    # never-verified BM25 ranker)
+    "ann_cosine_topk", "ann_lsh_topk",
     "ann_lsh_multiband_topk", "embedding_neardup_pairs",
     "dedup_components", "ann_ivf_topk",
     # full-text + sessions + media
-    "text_match_topk", "docs_with_children", "sessionize", "seen_ttl_expiry",
+    "text_match_topk", "text_bm25_topk", "docs_with_children",
+    "sessionize", "seen_ttl_expiry",
     "media_keys", "media_thumbnails", "media_content_dedup",
 ]
 
