@@ -134,9 +134,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_band_pairs(docs)
 
 
-def minhash_band_pairs(docs):
-    """MinHash-band candidate pairs over (doc_id, w) — the reusable
-    fuzzy-dedup stage (also composed into corpus_clean_fuzzy)."""
+def minhash_band_table(docs):
+    """(doc_id, band, band_sig) LSH band table over (doc_id, w) — the
+    storable index unit: production keeps this table bucketed by
+    hash(band_sig) so an incremental probe shuffles only the new-docs
+    side (same storage-partitioned-join shape as the seen filter)."""
     sh = docs.select(
         "doc_id", F.explode(shingles_col(F.col("w"))).alias("sh")
     ).distinct()
@@ -164,12 +166,17 @@ def minhash_band_pairs(docs):
             for b in range(n_bands)
         ]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(band_structs).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+
+
+def minhash_band_pairs(docs):
+    """MinHash-band candidate pairs over (doc_id, w) — the reusable
+    fuzzy-dedup stage (also composed into corpus_clean_fuzzy)."""
     # materialize once: the self-join would otherwise recompute the
     # whole shingle→minhash pipeline for BOTH sides
-    bands = bands.localCheckpoint()
+    bands = minhash_band_table(docs).localCheckpoint()
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "band_sig"
     )
@@ -588,3 +595,63 @@ FROM deduped GROUP BY source
 """
 
 REGISTRY["corpus_clean_pipeline"] = (q_corpus_clean_pipeline, SQL_CORPUS_CLEAN_PIPELINE)
+
+
+# --- incremental MinHash dedup: new batch vs stored band index ---------------
+INCR_NEW_MOD = 4  # doc_id % 4 == 0 -> "newly crawled" batch
+
+
+def q_minhash_incremental_pairs(spark, sf_dir):
+    """Incremental fuzzy dedup — the production shape at 100 TB: a
+    newly-crawled batch (here the doc_id%4==0 slice) probes the STORED
+    LSH band index of the already-ingested corpus instead of
+    re-self-joining the whole corpus each round. The band table is the
+    persistable unit (bucketed by hash(band_sig) in production, so
+    this probe shuffles only the new side — the seen-filter SPJ shape);
+    pairs report how many of the 4 bands collide (the LSH similarity
+    certificate). New-vs-new dedup is the already-covered
+    minhash_lsh_pairs self-join over the small batch."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", words_col(F.col("text")).alias("w")
+    )
+    bands = minhash_band_table(docs).localCheckpoint()
+    is_new = F.pmod(F.col("doc_id"), F.lit(INCR_NEW_MOD)) == 0
+    index = bands.filter(~is_new).select(
+        F.col("doc_id").alias("indexed_doc"), "band", "band_sig"
+    )
+    probe = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_doc"), "band", "band_sig"
+    )
+    return (
+        probe.join(index, ["band", "band_sig"])
+        .groupBy("new_doc", "indexed_doc")
+        .agg(F.count(F.lit(1)).alias("n_bands_match"))
+    )
+
+
+SQL_MINHASH_INCREMENTAL_PAIRS = f"""
+WITH words AS (
+  SELECT doc_id, {SQL_WORDS.format(t='text')} AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest({SQL_SHINGLES}) AS sh FROM words
+), hx AS (
+  SELECT DISTINCT doc_id, cast(perm AS int) AS perm,
+         cast(concat('0x', substr(md5(concat(perm, '|', sh)), 1, 15)) AS bigint) AS h
+  FROM sh, generate_series(1, {MINHASH_PERMS}) AS t(perm)
+), sig AS (
+  SELECT doc_id, perm, min(h) AS minhash FROM hx GROUP BY doc_id, perm
+), bands AS (
+  SELECT doc_id, cast((perm - 1) // {LSH_BAND_SIZE} AS int) AS band,
+         string_agg(cast(minhash AS varchar), ',' ORDER BY perm) AS band_sig
+  FROM sig GROUP BY doc_id, cast((perm - 1) // {LSH_BAND_SIZE} AS int)
+)
+SELECT p.doc_id AS new_doc, i.doc_id AS indexed_doc, count(*) AS n_bands_match
+FROM bands p JOIN bands i USING (band, band_sig)
+WHERE p.doc_id % {INCR_NEW_MOD} = 0 AND i.doc_id % {INCR_NEW_MOD} <> 0
+GROUP BY 1, 2
+"""
+
+REGISTRY["minhash_incremental_pairs"] = (
+    q_minhash_incremental_pairs,
+    SQL_MINHASH_INCREMENTAL_PAIRS,
+)
