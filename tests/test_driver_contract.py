@@ -13,6 +13,8 @@ FLAGSHIPS = [
     "dedup_components", "ann_ivf_topk", "text_match_topk", "sessionize",
     "media_content_dedup", "media_thumbnails", "corpus_clean_fuzzy",
     "docs_with_children", "corpus_clean_pipeline", "minhash_lsh_pairs",
+    "text_bm25_topk", "corpus_sample_stratified", "mix_weights_temperature",
+    "corpus_shard_pack", "decontaminate_overlap", "pii_scan",
 ]
 
 

@@ -109,3 +109,29 @@ def test_pii_scan_counts_and_redaction(spark):
         else:
             assert r.n_emails == 0 and r.n_phones == 0
             assert r.n_chars_redacted == r.n_chars_raw
+
+
+def test_minhash_incremental_probe_matches_self_join_restriction(spark):
+    """The incremental probe must find exactly the self-join pairs that
+    cross the new/indexed boundary (same bands, same collisions)."""
+    from openslack_crawler_spark.queries_textdedup import (
+        INCR_NEW_MOD,
+        q_minhash_incremental_pairs,
+        q_minhash_lsh_pairs,
+    )
+
+    inc = {
+        (r.new_doc, r.indexed_doc)
+        for r in q_minhash_incremental_pairs(spark, SF).collect()
+    }
+    full = q_minhash_lsh_pairs(spark, SF).collect()
+    expected = set()
+    for r in full:
+        a_new, b_new = r.doc_a % INCR_NEW_MOD == 0, r.doc_b % INCR_NEW_MOD == 0
+        if a_new and not b_new:
+            expected.add((r.doc_a, r.doc_b))
+        elif b_new and not a_new:
+            expected.add((r.doc_b, r.doc_a))
+    assert inc == expected
+    for r in q_minhash_incremental_pairs(spark, SF).collect():
+        assert 1 <= r.n_bands_match <= 4
