@@ -123,7 +123,21 @@ def sched_round_job(spark, n_urls: int, n_hosts: int) -> int:
 def run_sched_bench(cores: int, n_urls: int) -> dict:
     from openslack_crawler_spark.session import get_spark
 
-    spark = get_spark(app_name=f"sched-bench-{cores}", cores=cores)
+    # BENCH_CODEC=zstd trades CPU (scales with cores) for shuffle +
+    # snapshot bytes (memory bandwidth, which does NOT scale with
+    # local threads) — A/B knob for the scaling study
+    codec = os.environ.get("BENCH_CODEC")
+    extra = (
+        {
+            "spark.io.compression.codec": codec,
+            "spark.sql.parquet.compression.codec": codec,
+        }
+        if codec
+        else None
+    )
+    spark = get_spark(
+        app_name=f"sched-bench-{cores}", cores=cores, extra_conf=extra
+    )
     # Warm the JVM + the python-worker pool at FULL parallelism before
     # timing: local-mode workers spawn lazily over the first couple of
     # stages, which would charge one-off fork/import cost to the
