@@ -450,14 +450,19 @@ def main():
         print("BIGSEENJSON:" + json.dumps(run_bigseen_bench(n_seen, n_cands)))
         return
 
+    # BENCH_SCALING_ONLY=1 skips the query + bigseen phases — for
+    # iterating on the scaling study in a quiet host window without
+    # paying the ~25 min of unrelated phases
+    scaling_only = os.environ.get("BENCH_SCALING_ONLY") == "1"
     sentinel_before = cpu_sentinel()
-    queries = run_query_bench()
+    queries = {} if scaling_only else run_query_bench()
     # stop the parent JVM before the subprocess benches: an idle 20g
     # session + its page-cache footprint measurably pollutes the
     # pinned scaling runs (measured: 42s vs 22.5s at local[32])
-    from openslack_crawler_spark.session import get_spark
+    if not scaling_only:
+        from openslack_crawler_spark.session import get_spark
 
-    get_spark(cores=CPUS).stop()
+        get_spark(cores=CPUS).stop()
 
     scaling = {}
     results = {}
@@ -596,18 +601,19 @@ def main():
     # 200M-row shuffle + page-cache footprint must not precede the
     # pinned scaling runs (one Spark workload at a time when timing)
     bigseen = {}
-    cmd = [sys.executable, os.path.abspath(__file__), "--bigseen-bench"]
-    proc = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=1800,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    for line in proc.stdout.splitlines():
-        if line.startswith("BIGSEENJSON:"):
-            bigseen = json.loads(line[len("BIGSEENJSON:"):])
-            break
-    else:
-        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
-        raise RuntimeError("bigseen bench produced no result")
+    if not scaling_only:
+        cmd = [sys.executable, os.path.abspath(__file__), "--bigseen-bench"]
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("BIGSEENJSON:"):
+                bigseen = json.loads(line[len("BIGSEENJSON:"):])
+                break
+        else:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+            raise RuntimeError("bigseen bench produced no result")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
