@@ -174,3 +174,79 @@ def thumbnail_plan(media: DataFrame, sizes: dict[str, tuple[int, int]] | None = 
 
 # backwards-compatible alias (round-1 name)
 thumbnail_stub = thumbnail_plan
+
+
+# --- audio/video frame sampling (multimodal plumbing) ------------------------
+K_FRAMES_DEFAULT = 4
+AV_FPS_CHOICES = (24, 25, 30)
+
+
+def av_metadata(av: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """Typed container metadata for opaque audio/video binaries. In
+    production these come from the container header (ffprobe-style);
+    in-sandbox they derive deterministically from the media ref (the
+    header read is the only stubbed piece). duration 1-120s, fps from
+    the broadcast-standard set — exact integer arithmetic, identical
+    in DuckDB."""
+    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    dur = F.lit(1000) + F.pmod(
+        h60(F.concat(F.col(ref_col), F.lit(":dur"))), F.lit(119001)
+    )
+    fps_idx = F.pmod(h60(F.concat(F.col(ref_col), F.lit(":fps"))), F.lit(3))
+    fps = F.element_at(
+        F.array(*[F.lit(x) for x in AV_FPS_CHOICES]), (fps_idx + 1).cast("int")
+    )
+    return av.withColumn("duration_ms", dur.cast("long")).withColumn(
+        "fps", fps.cast("int")
+    )
+
+
+def frame_sample_plan(av: DataFrame, k: int = K_FRAMES_DEFAULT) -> DataFrame:
+    """Uniform k-frame sampling plan over (media_ref, duration_ms, fps):
+    frame_idx i → ts_ms = floor(i*duration/k), frame_no =
+    floor(ts_ms*fps/1000). Pure narrow column work (explode of a
+    k-element sequence — no shuffle); the decode of the chosen frames
+    is `decode_frames_stub` below. At 100 TB this plan stage emits
+    k rows per video into the decode mapInPandas without moving the
+    binary payload anywhere."""
+    out = av.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("frame_idx")
+    )
+    ts = F.floor(F.col("frame_idx") * F.col("duration_ms") / F.lit(k))
+    return out.withColumn("ts_ms", ts.cast("long")).withColumn(
+        "frame_no", F.floor(F.col("ts_ms") * F.col("fps") / F.lit(1000)).cast("long")
+    )
+
+
+def decode_frames_stub(frames: DataFrame) -> DataFrame:
+    """Frame decode behind mapInPandas — REAL Arrow-batch plumbing
+    (schema, batching, vectorized pandas ops), stubbed codec (no
+    av/ffmpeg libs in-sandbox): the frame payload is a deterministic
+    64-byte function of (media_ref, frame_no) with a crc32 the tests
+    assert. Swap the body for the real decoder on a fleet; the Spark
+    side (partitioning, batch shape, output schema) is what this
+    function locks down."""
+    schema = (
+        "media_ref string, frame_idx int, ts_ms long, frame_no long, "
+        "frame_bytes binary, frame_crc long"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            payloads = [
+                hashlib.sha256(f"{r}:{n}".encode()).digest()[:32] * 2
+                for r, n in zip(pdf["media_ref"], pdf["frame_no"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "ts_ms": pdf["ts_ms"].astype("int64"),
+                    "frame_no": pdf["frame_no"].astype("int64"),
+                    "frame_bytes": payloads,
+                    "frame_crc": [zlib.crc32(p) for p in payloads],
+                }
+            )
+
+    cols = ["media_ref", "frame_idx", "ts_ms", "frame_no"]
+    return frames.select(*cols).mapInPandas(decode, schema=schema)

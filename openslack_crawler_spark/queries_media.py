@@ -304,10 +304,55 @@ FROM media GROUP BY checksum
 """
 
 
+# --- audio/video frame sampling (multimodal plumbing, round 3) ---------------
+def q_media_frame_sample(spark, sf_dir):
+    """Uniform frame-sampling plan for audio/video media: every 4th doc
+    carries an av container ref; duration/fps derive deterministically
+    from the ref (the container-header read is the stubbed piece —
+    operators/media.py:av_metadata); the plan emits k=4 (ts_ms,
+    frame_no) sample points per container as pure narrow column work.
+    The decode itself is operators/media.py:decode_frames_stub
+    (mapInPandas, tested separately — binary payloads are not
+    SQL-comparable)."""
+    from openslack_crawler_spark.operators.media import (
+        av_metadata,
+        frame_sample_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    av = docs.filter(F.pmod("doc_id", F.lit(4)) == 1).select(
+        "doc_id",
+        F.concat(F.lit("av-"), F.col("doc_id").cast("string")).alias("media_ref"),
+    )
+    return frame_sample_plan(av_metadata(av), k=4).select(
+        "doc_id", "media_ref", "duration_ms", "fps", "frame_idx",
+        "ts_ms", "frame_no",
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE = """
+WITH av AS (
+  SELECT doc_id, concat('av-', doc_id) AS media_ref FROM documents
+  WHERE doc_id % 4 = 1
+), meta AS (
+  SELECT doc_id, media_ref,
+         1000 + (('0x' || substr(md5(media_ref || ':dur'), 1, 15))::bigint % 119001) AS duration_ms,
+         ([24, 25, 30])[(('0x' || substr(md5(media_ref || ':fps'), 1, 15))::bigint % 3) + 1] AS fps
+  FROM av
+)
+SELECT doc_id, media_ref, duration_ms, cast(fps AS int) AS fps,
+       cast(i AS int) AS frame_idx,
+       cast(floor(i * duration_ms / 4) AS bigint) AS ts_ms,
+       cast(floor(floor(i * duration_ms / 4) * fps / 1000) AS bigint) AS frame_no
+FROM meta, generate_series(0, 3) AS t(i)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "media_keys": (q_media_keys, SQL_MEDIA_KEYS),
     "media_thumbnails": (q_media_thumbnails, SQL_MEDIA_THUMBNAILS),
     "media_content_dedup": (q_media_content_dedup, SQL_MEDIA_CONTENT_DEDUP),
+    "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "media_fetch_plan": (q_media_fetch_plan, SQL_MEDIA_FETCH_PLAN),
     "string_processors": (q_string_processors, SQL_STRING_PROCESSORS),
     "host_extract": (q_host_extract, SQL_HOST_EXTRACT),

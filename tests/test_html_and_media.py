@@ -100,3 +100,42 @@ def test_thumb_dims_pil_semantics(spark):
     }
     for a, b, c, d, w, h in rows:
         assert got[(a, b, c, d)] == (w, h), (a, b, c, d)
+
+
+def test_frame_sample_plan_and_decode_stub(spark):
+    """AV frame sampling: plan invariants (k rows per container,
+    ts within duration, frame_no consistent with fps) and the
+    mapInPandas decode stub's Arrow plumbing (schema, determinism,
+    crc integrity)."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from openslack_crawler_spark.operators.media import (
+        av_metadata,
+        decode_frames_stub,
+        frame_sample_plan,
+    )
+
+    av = spark.range(40).select(
+        F.concat(F.lit("av-"), F.col("id").cast("string")).alias("media_ref")
+    )
+    plan = frame_sample_plan(av_metadata(av), k=4)
+    rows = plan.collect()
+    assert len(rows) == 160  # 4 frames per container
+    for r in rows:
+        assert 1000 <= r.duration_ms <= 120000 and r.fps in (24, 25, 30)
+        assert 0 <= r.ts_ms < r.duration_ms
+        assert r.frame_no == r.ts_ms * r.fps // 1000
+    decoded = decode_frames_stub(plan)
+    assert decoded.schema.simpleString() == (
+        "struct<media_ref:string,frame_idx:int,ts_ms:bigint,"
+        "frame_no:bigint,frame_bytes:binary,frame_crc:bigint>"
+    )
+    d1 = {(r.media_ref, r.frame_idx): (bytes(r.frame_bytes), r.frame_crc)
+          for r in decoded.collect()}
+    d2 = {(r.media_ref, r.frame_idx): (bytes(r.frame_bytes), r.frame_crc)
+          for r in decode_frames_stub(plan).collect()}
+    assert d1 == d2 and len(d1) == 160  # deterministic across runs
+    for payload, crc in d1.values():
+        assert len(payload) == 64 and zlib.crc32(payload) == crc
