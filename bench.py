@@ -343,22 +343,34 @@ def membw_sentinel() -> float:
         return round(time.perf_counter() - t0, 3)
 
 
+GATE_TOTAL_BUDGET_SEC = 900.0  # cumulative gating cap across the whole run
+
+
 def wait_for_quiet_host(
     gate: dict, tolerance: float = 1.15, max_wait_sec: float = 180.0
 ) -> tuple[float, float]:
     """Poll BOTH sentinels (ALU + memory bandwidth) until each is within
     `tolerance` of the quietest value seen, or the wait budget runs out
     — never blocks the bench forever. `gate` carries the running minima
-    {"alu": .., "bw": ..} across calls. Returns (alu_s, bw_s)."""
-    deadline = time.monotonic() + max_wait_sec
-    while True:
-        alu, bw = quick_sentinel(), membw_sentinel()
-        gate["alu"] = min(gate.get("alu", alu), alu)
-        gate["bw"] = min(gate.get("bw", bw), bw)
-        quiet = alu <= gate["alu"] * tolerance and bw <= gate["bw"] * tolerance
-        if quiet or time.monotonic() >= deadline:
-            return alu, bw
-        time.sleep(15)
+    {"alu": .., "bw": ..} across calls plus the cumulative seconds spent
+    waiting ("spent"): with 12+ gated passes per run, per-pass budgets
+    alone could stack to ~35 min of waiting, so a GLOBAL cap bounds the
+    whole run's gating overhead (driver harnesses time the bench).
+    Returns (alu_s, bw_s)."""
+    budget_left = GATE_TOTAL_BUDGET_SEC - gate.get("spent", 0.0)
+    deadline = time.monotonic() + min(max_wait_sec, max(0.0, budget_left))
+    t0 = time.monotonic()
+    try:
+        while True:
+            alu, bw = quick_sentinel(), membw_sentinel()
+            gate["alu"] = min(gate.get("alu", alu), alu)
+            gate["bw"] = min(gate.get("bw", bw), bw)
+            quiet = alu <= gate["alu"] * tolerance and bw <= gate["bw"] * tolerance
+            if quiet or time.monotonic() >= deadline:
+                return alu, bw
+            time.sleep(15)
+    finally:
+        gate["spent"] = gate.get("spent", 0.0) + (time.monotonic() - t0)
 
 
 def hw_scaling_ceiling() -> dict:
