@@ -114,7 +114,7 @@ def q_mix_weights_temperature(spark, sf_dir):
 SQL_MIX_WEIGHTS_TEMPERATURE = f"""
 WITH per_src AS (
   SELECT source, count(*) AS n_docs,
-         sum(len({SQL_WORDS.format(t='text')})) AS n_tokens
+         cast(sum(len({SQL_WORDS.format(t='text')})) AS bigint) AS n_tokens
   FROM documents GROUP BY source
 ), scaled AS (
   SELECT *, cast(floor(sqrt(n_tokens::double) * 1000000) AS bigint) AS s_micro
@@ -174,7 +174,7 @@ WITH toks AS (
   FROM toks
 )
 SELECT bucket, cast(floor((cum - n_tokens) / {SHARD_TOKEN_BUDGET}) AS bigint) AS shard_seq,
-       count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
+       count(*) AS n_docs, cast(sum(n_tokens) AS bigint) AS sum_tokens,
        min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
 FROM packed
 GROUP BY bucket, shard_seq
