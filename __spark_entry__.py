@@ -45,10 +45,14 @@ _REGISTRIES = [
 ]
 
 # The driver's correctness gate checks the FIRST 50 queries in iteration
-# order. This explicit window puts every §2-critical crawl operator and
-# every LLM-pipeline flagship inside it; the remainder (small
-# single-operator variants whose shapes the window already covers) stay
-# registered and oracle-checked locally via tools/check_oracle.py.
+# order. Round-4 rotation: the 16 queries that had never been inside the
+# window in any round (VERDICT r3 "What's missing" #1) move in; 16
+# r3-driver-green single-operator entries rotate out (their on-record
+# driver pass stands, and tools/check_oracle.py still checks them
+# locally every session). Kept in place: the §2 crawl core, the two
+# round-3 hash-fail queries (mix_weights_temperature, corpus_shard_pack
+# — re-verify the oracle cast fix), and the composite pipelines whose
+# answers depend on many operators at once.
 _WINDOW = [
     # crawl core: joins, frontier, scheduling
     "seen_antijoin", "blacklist_antijoin", "dequeue_topk_per_host",
@@ -59,27 +63,26 @@ _WINDOW = [
     "request_ingest", "streaming_window_counts", "multimodal_features",
     "content_type_filter", "retry_union", "crawl_e2e", "crawl_e2e_summary",
     "bloom_prefilter_dedup",
-    # text dedup + corpus pipelines
-    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs", "simhash",
-    "ngram_jaccard_pairs", "lang_id", "quality_score", "token_count",
-    "doc_fingerprint", "quality_gopher", "corpus_clean_pipeline",
-    "corpus_clean_fuzzy",
-    # pretraining-corpus assembly (round 3; displaced dedup_collapse /
-    # terms_agg_stats / union_dedup / media_keys — all r02-verified
-    # green, shapes still covered in-window by dedup_exact /
-    # info_by_crawlid / retry_union / media_content_dedup)
-    "corpus_sample_stratified", "mix_weights_temperature",
-    "corpus_shard_pack", "decontaminate_overlap", "pii_scan",
-    # similarity / ANN ("lsh_buckets" — already driver-verified green in
-    # r02 and shape-subsumed by ann_lsh_topk — yields its slot to the
-    # never-verified BM25 ranker)
-    "ann_cosine_topk", "ann_lsh_topk",
-    "ann_lsh_multiband_topk", "embedding_neardup_pairs",
+    # text dedup + corpus pipelines (rotated out, all r3-green:
+    # minhash_signatures, simhash, ngram_jaccard_pairs, lang_id,
+    # quality_score, token_count, doc_fingerprint, quality_gopher)
+    "dedup_exact", "minhash_lsh_pairs", "minhash_incremental_pairs",
+    "corpus_clean_pipeline", "corpus_clean_fuzzy",
+    # pretraining-corpus assembly (rotated out, r3-green:
+    # corpus_sample_stratified, decontaminate_overlap, pii_scan)
+    "mix_weights_temperature", "corpus_shard_pack",
+    # similarity / ANN (rotated out, r3-green: ann_lsh_multiband_topk)
+    "ann_cosine_topk", "ann_lsh_topk", "embedding_neardup_pairs",
     "dedup_components", "ann_ivf_topk",
-    # full-text + sessions + media
-    "text_match_topk", "text_bm25_topk", "docs_with_children",
-    "sessionize", "seen_ttl_expiry",
-    "media_thumbnails", "media_content_dedup",
+    # full-text + media (rotated out, r3-green: text_match_topk,
+    # docs_with_children, sessionize, seen_ttl_expiry)
+    "text_bm25_topk", "media_thumbnails", "media_content_dedup",
+    "media_frame_sample", "media_fetch_plan",
+    # never-driver-verified singles (r1-green-only or local-only so far)
+    "host_extract", "pricing_summary", "top_revenue_orders",
+    "stats_max_min", "event_gaps", "fifo_pop", "lifo_pop", "json_export",
+    "null_strip_collapse", "date_parse_natural", "content_disposition",
+    "rule_routing", "string_processors",
 ]
 
 

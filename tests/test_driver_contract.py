@@ -10,11 +10,16 @@ import __spark_entry__ as entry
 
 FLAGSHIPS = [
     "seen_antijoin", "crawl_e2e", "crawl_e2e_summary",
-    "dedup_components", "ann_ivf_topk", "text_match_topk", "sessionize",
+    "dedup_components", "ann_ivf_topk",
     "media_content_dedup", "media_thumbnails", "corpus_clean_fuzzy",
-    "docs_with_children", "corpus_clean_pipeline", "minhash_lsh_pairs",
-    "text_bm25_topk", "corpus_sample_stratified", "mix_weights_temperature",
-    "corpus_shard_pack", "decontaminate_overlap", "pii_scan",
+    "corpus_clean_pipeline", "minhash_lsh_pairs",
+    "text_bm25_topk", "mix_weights_temperature", "corpus_shard_pack",
+    # round-4 rotation targets: never driver-verified before this round
+    "minhash_incremental_pairs", "media_frame_sample", "host_extract",
+    "pricing_summary", "top_revenue_orders", "stats_max_min",
+    "event_gaps", "fifo_pop", "lifo_pop", "json_export",
+    "null_strip_collapse", "date_parse_natural", "content_disposition",
+    "rule_routing", "media_fetch_plan", "string_processors",
 ]
 
 
