@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "corpus_clean_pipeline",
     "corpus_clean_fuzzy",
+    "media_frame_sample",
 ]
 
 
@@ -628,18 +629,53 @@ def main():
             raise RuntimeError("bigseen bench produced no result")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    verbose = {
+        "metric": "URLs scheduled+deduped/sec (one full scheduling round: canonicalize, hash, dedup, seen anti-join, salted top-k dequeue, politeness)",
+        "value": scaling["sec_high"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "urls_per_sec": scaling["urls_per_sec_high"],
+        "scaling": scaling,
+        "bigseen": bigseen,
+    }
+    # Full record (per-pass timings, sentinels, hw ceiling) goes to a
+    # file; stdout carries ONE compact JSON line so the driver's bounded
+    # output capture can always parse it (BENCH_r03.json had parsed:null
+    # because the verbose line overflowed the capture window).
+    vdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "bench_verbose_last.json"), "w") as f:
+        json.dump(verbose, f, indent=1)
+    compact_scaling = {
+        k: scaling[k]
+        for k in (
+            "cores_low", "cores_high", "sec_low", "sec_high",
+            "urls_per_sec_low", "urls_per_sec_high", "efficiency",
+            "efficiency_median", "efficiency_vs_hw_ceiling", "urls",
+        )
+        if k in scaling
+    }
+    if "efficiency_equal_conditions" in scaling:
+        compact_scaling["efficiency_equal_conditions"] = scaling[
+            "efficiency_equal_conditions"
+        ]
+    compact_scaling["hw_efficiency"] = hw["hw_efficiency"]
     print(
         json.dumps(
             {
-                "metric": "URLs scheduled+deduped/sec (one full scheduling round: canonicalize, hash, dedup, seen anti-join, salted top-k dequeue, politeness)",
+                "metric": verbose["metric"],
                 "value": scaling["sec_high"],
                 "unit": "sec",
                 "queries": queries,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": verbose["sf"],
                 "urls_per_sec": scaling["urls_per_sec_high"],
-                "scaling": scaling,
-                "bigseen": bigseen,
-            }
+                "scaling": compact_scaling,
+                "bigseen": {k: v["sec"] for k, v in bigseen.items()
+                            if isinstance(v, dict) and "sec" in v},
+                "verbose_file": "bench_runs/bench_verbose_last.json",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -126,28 +126,36 @@ def bm25_topk(docs, terms: list[str], k: int):
     one corpus-stats scalar join, TakeOrderedAndProject top-k."""
     words = docs.select("doc_id", words_col(F.col("text")).alias("w"))
     doclen = words.select("doc_id", F.size("w").alias("doc_len"))
-    # one tiny corpus-stats row (N, total_len) — broadcast everywhere
-    corpus = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("doc_len").cast("long").alias("total_len"),
-    )
+    # two corpus-stats scalars (N, total_len) collected once driver-side
+    # (O(1), like IVF centroids) and inlined as literals — the former
+    # crossJoin(broadcast(1-row agg)) planned a BroadcastNestedLoopJoin,
+    # which the repo-wide plan lint now forbids outright.
+    n_docs, total_len = doclen.agg(
+        F.count(F.lit(1)),
+        F.sum("doc_len").cast("long"),
+    ).first()
     hits = (
         words.select("doc_id", F.explode("w").alias("term"))
         .filter(F.col("term").isin(terms))
     )
     tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # idf residual risk (documented, accepted): floor(1e6·ln(x)) assumes
+    # JVM Math.log and DuckDB's libm agree at the micro-unit boundary;
+    # ln is not IEEE-correctly-rounded, so a 1-ulp disagreement exactly
+    # at an integer boundary could flip the floor. No observed case at
+    # any tested SF; the quantized-rational alternative trades this
+    # ~1e-10/evaluation risk for a nonstandard BM25, so it stays.
     scored = (
         tf.join(F.broadcast(df_), "term")
         .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(corpus))
         .withColumn(
             "idf_micro",
             F.floor(
                 F.lit(1_000_000.0)
                 * F.log(
                     1
-                    + (2 * (F.col("n_docs") - F.col("df")) + 1)
+                    + (2 * (F.lit(n_docs) - F.col("df")) + 1)
                     / (2 * F.col("df") + 1)
                 )
             ).cast("long"),
@@ -156,7 +164,7 @@ def bm25_topk(docs, terms: list[str], k: int):
             "norm_c",
             F.expr(
                 f"(100 - {BM25_B_CENTI}) + "
-                f"({BM25_B_CENTI} * ((100 * doc_len * n_docs) DIV total_len)) DIV 100"
+                f"({BM25_B_CENTI} * ((100 * doc_len * {n_docs}) DIV {total_len})) DIV 100"
             ),
         )
         .withColumn(

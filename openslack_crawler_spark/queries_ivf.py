@@ -104,8 +104,25 @@ def assign_cells_numpy(
 
 
 # corpus size per source dir, so repeated calls (bench loops, the
-# two-consumer plan) don't re-run the count job
-_N_VECS_CACHE: dict[str, int] = {}
+# two-consumer plan) don't re-run the count job. Keyed on the dataset's
+# file fingerprint (paths + sizes + mtimes), not the path alone — a
+# re-generated dataset at the same path must not reuse a stale count.
+_N_VECS_CACHE: dict[tuple, int] = {}
+
+
+def _emb_fingerprint(sf_dir: str) -> tuple:
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if not f.startswith("_")
+        )
+    else:
+        files = [path]
+    return tuple(
+        (f, st.st_size, st.st_mtime_ns) for f in files for st in [os.stat(f)]
+    )
 
 
 def q_ann_ivf_topk(
@@ -113,9 +130,10 @@ def q_ann_ivf_topk(
 ):
     emb = _t(spark, sf_dir, "embeddings")
     if k_cells is None:
-        if sf_dir not in _N_VECS_CACHE:
-            _N_VECS_CACHE[sf_dir] = emb.count()
-        k_cells = k_cells_for(_N_VECS_CACHE[sf_dir])
+        key = _emb_fingerprint(sf_dir)
+        if key not in _N_VECS_CACHE:
+            _N_VECS_CACHE[key] = emb.count()
+        k_cells = k_cells_for(_N_VECS_CACHE[key])
     if use_numpy_assign is None:
         # default to the matmul kernel whenever K exceeds the clamped
         # minimum: the expression path's crossJoin explodes O(n·K) rows —

@@ -74,12 +74,100 @@ def cosine_expr(a_col, b_col):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
-# --- brute-force cosine top-k -------------------------------------------------
+# --- exact cosine top-k (distributed scan kernel) ---------------------------
+def exact_topk_kernel(emb: DataFrame, query_rows: list, top_k: int) -> DataFrame:
+    """Exact distributed brute-force kNN for a SMALL query set: the Q
+    query vectors ride to every task (like IVF centroids), each Arrow
+    batch is scored in place and reduced to its local top-k, so only
+    O(batches · Q · k) survivor rows reach the final ranking. No
+    CartesianProduct, no shuffle of the corpus — the scan stays fully
+    parallel, which IS the right 10^10-row plan for exact kNN when Q is
+    bounded.
+
+    Bitwise determinism: the dot products are IN-ORDER column folds
+    (acc += x_i * q_i over the dim axis). Elementwise float64 ops make
+    this bit-identical to the scalar left fold that `F.aggregate` /
+    DuckDB `list_dot_product` perform, so the emitted sims equal the
+    expression path's and the SQL oracle's exactly."""
+    q_ids = np.array([r["query_id"] for r in query_rows], dtype=np.int64)
+    qmat = np.array([list(r["q_emb"]) for r in query_rows], dtype=np.float64)
+    dim = qmat.shape[1]
+    qq = np.zeros(len(q_ids))
+    for i in range(dim):  # in-order fold, matching F.aggregate
+        qq += qmat[:, i] * qmat[:, i]
+    q_norm = np.sqrt(qq)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            dots = np.zeros((len(ids), len(q_ids)))
+            cc = np.zeros(len(ids))
+            for i in range(dim):  # in-order fold, matching F.aggregate
+                dots += x[:, i : i + 1] * qmat[:, i]
+                cc += x[:, i] * x[:, i]
+            sims = dots / (q_norm[None, :] * np.sqrt(cc)[:, None])
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                mask = ids != qid
+                nid, s = ids[mask], sims[mask, qi]
+                take = min(top_k, len(nid))
+                if take == 0:
+                    continue
+                order = np.lexsort((nid, -s))[:take]
+                out_q.append(np.full(take, qid, dtype=np.int64))
+                out_n.append(nid[order])
+                out_s.append(s[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, neighbor_id long, sim double"
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
-    """CORRECTNESS BASELINE ONLY — a global crossJoin is O(Q·N) and must
-    never be the default plan at scale; its role there is the per-bucket
-    kernel inside ann_lsh_topk / ann_ivf_topk (which bound the candidate
-    set before this ranking runs). Reach for those for any real corpus."""
+    """EXACT cosine top-k, distributed: per-batch local top-k via the
+    in-order-fold kernel, then one global ranking over the tiny survivor
+    set. Replaces the former registered global crossJoin (kept as
+    q_brute_force_cosine_topk, the test-only twin): same answer bitwise,
+    but the plan is a parallel scan + O(batches·Q·k)-row window instead
+    of an O(Q·N) row explosion."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .collect()  # Q rows — O(1) driver data, like IVF centroids
+    )
+    survivors = exact_topk_kernel(emb, query_rows, TOP_K)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "rnk",
+            "neighbor_id",
+            F.floor(F.col("sim") * 1000000).cast("long").alias("sim_micro"),
+        )
+    )
+
+
+def q_brute_force_cosine_topk(spark, sf_dir):
+    """TEST-ONLY oracle twin of ann_cosine_topk: the global crossJoin +
+    full window. O(Q·N·DIM) row explosion — never registered; it exists
+    so tests can assert the kernel path is bitwise-equal to the
+    expression path (tests/test_ann_scale.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

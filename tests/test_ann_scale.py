@@ -117,6 +117,49 @@ def test_numpy_lsh_projection_matches_expression_path(spark):
         assert np_ == expr, f"planes={planes}"
 
 
+def test_exact_topk_kernel_matches_brute_force(spark):
+    """The registered ann_cosine_topk (per-batch kernel + survivor
+    window, round-4 de-fang of the crossJoin) must equal the test-only
+    global crossJoin twin bitwise — the kernel's in-order column fold is
+    the same float64 op sequence as cosine_expr's F.aggregate fold."""
+    from openslack_crawler_spark.queries_similarity import (
+        q_ann_cosine_topk,
+        q_brute_force_cosine_topk,
+    )
+
+    kernel = sorted(tuple(r) for r in q_ann_cosine_topk(spark, SF0001).collect())
+    brute = sorted(
+        tuple(r) for r in q_brute_force_cosine_topk(spark, SF0001).collect()
+    )
+    assert kernel == brute
+    assert len(kernel) == 50
+
+
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """No registered query may plan a CartesianProduct or an unbounded
+    BroadcastNestedLoopJoin (round-3 verdict #3): every candidate
+    generation must be bounded (equi-join on bucket/band/cell, kernel
+    scan, or broadcast of a provably small side)."""
+    import __spark_entry__ as entry
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        if name == "crawl_e2e":  # stateful multi-round job, not one plan
+            continue
+        df = fn(spark, SF0001)
+        mode = spark.sparkContext._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders[name] = [
+                ln.strip()
+                for ln in plan.splitlines()
+                if "CartesianProduct" in ln or "BroadcastNestedLoopJoin" in ln
+            ][:2]
+    assert not offenders, offenders
+
+
 def test_numpy_multiband_matches_expression_path(spark):
     from openslack_crawler_spark.queries_similarity import q_ann_lsh_multiband_topk
 
