@@ -606,11 +606,17 @@ def q_minhash_incremental_pairs(spark, sf_dir):
     newly-crawled batch (here the doc_id%4==0 slice) probes the STORED
     LSH band index of the already-ingested corpus instead of
     re-self-joining the whole corpus each round. The band table is the
-    persistable unit (bucketed by hash(band_sig) in production, so
-    this probe shuffles only the new side — the seen-filter SPJ shape);
-    pairs report how many of the 4 bands collide (the LSH similarity
-    certificate). New-vs-new dedup is the already-covered
-    minhash_lsh_pairs self-join over the small batch."""
+    persistable unit: production keeps it bucketed by band_key =
+    hash(band, band_sig) and maintains it with append-only bucketed
+    writes (SnapshotParquetFormat.append_bucketed — an upsert keyed on
+    band_key would evict near-dups' posting rows), so the probe join
+    shuffles ONLY the new side — the seen-filter SPJ shape. That plan
+    claim is ENFORCED by tests/test_sources_and_bucketing.py::
+    test_band_index_append_bucketed_and_probe_spj (index side
+    Bucketed:true with no Exchange, one probe-side Exchange, same
+    pairs as this query). Pairs report how many of the 4 bands collide
+    (the LSH similarity certificate). New-vs-new dedup is the
+    already-covered minhash_lsh_pairs self-join over the small batch."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", words_col(F.col("text")).alias("w")
     )

@@ -255,6 +255,53 @@ class SnapshotParquetFormat:
             table, merged, key, num_buckets, dict(self.meta()), reuse=reuse
         )
 
+    def append_bucketed(
+        self, table: str, df: DataFrame, key: str | None = None,
+        num_buckets: int = 64,
+    ) -> int:
+        """Append rows INTO the bucketed layout without key-collision
+        deletes — the primitive for append-only bucket-clustered state
+        like the MinHash LSH band index (bucketed by band_key =
+        hash(band, band_sig)): near-dup docs share a band_key by
+        construction, so merge_upsert_bucketed's new-row-wins anti-join
+        would silently drop the existing posting rows. Here incoming
+        rows are unioned into their hash buckets; only the affected
+        bucket dirs are rewritten (O(delta buckets)), every other
+        bucket carries forward untouched — the Iceberg
+        bucket(B, key)-table append shape."""
+        m = self.current_manifest()
+        entry = (m or {"tables": {}})["tables"].get(table)
+        if entry is None:
+            if key is None:
+                raise ValueError("first append_bucketed needs an explicit key")
+            return self._write_bucketed(table, df, key, num_buckets, dict(self.meta()))
+        if not isinstance(entry, dict):
+            raise ValueError(
+                f"table {table!r} exists with a non-bucketed layout; "
+                "compact it into a bucketed table first"
+            )
+        key, num_buckets = entry["key"], entry["num_buckets"]
+        affected = sorted(
+            r["_b"]
+            for r in df.select(
+                self._bucket_col(key, num_buckets).alias("_b")
+            ).distinct().collect()
+        )
+        touched_paths = [
+            entry["buckets"][str(b)] for b in affected if str(b) in entry["buckets"]
+        ]
+        if touched_paths:
+            cur = self.spark.read.parquet(*touched_paths)
+            merged = cur.unionByName(df.select(cur.columns))
+        else:
+            merged = df
+        reuse = {
+            b: p for b, p in entry["buckets"].items() if int(b) not in set(affected)
+        }
+        return self._write_bucketed(
+            table, merged, key, num_buckets, dict(self.meta()), reuse=reuse
+        )
+
     def expire_snapshots(self, keep_last: int = 8) -> dict:
         """Iceberg expire_snapshots twin: drop manifests older than the
         last `keep_last` snapshots and delete data dirs no kept snapshot

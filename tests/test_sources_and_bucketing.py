@@ -283,3 +283,105 @@ def test_message_sinks_plans_and_selection(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "rmq")).count() == 2
     got = spark.read.parquet(str(tmp_path / "flume")).select("headers", "body").count()
     assert got == 2
+
+
+def test_band_index_append_bucketed_and_probe_spj(spark, tmp_path):
+    """Round-3 verdict #6 — prove the incremental-dedup SPJ claim
+    (queries_textdedup.q_minhash_incremental_pairs docstring): the
+    MinHash band index persists bucketed by band_key = hash(band,
+    band_sig), maintenance is an O(delta buckets) append (NOT an
+    upsert: near-dups share band_key, a keyed upsert would drop their
+    posting rows), and the new-batch probe join shuffles ONLY the
+    probe side — the same storage-partitioned shape as the seen join."""
+    from openslack_crawler_spark.queries_textdedup import (
+        INCR_NEW_MOD,
+        minhash_band_table,
+        q_minhash_incremental_pairs,
+        words_col,
+    )
+    from openslack_crawler_spark.sources.table_format import SnapshotParquetFormat
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", words_col(F.col("text")).alias("w"))
+    )
+    bands = minhash_band_table(docs).withColumn(
+        "band_key", F.xxhash64("band", "band_sig")
+    ).localCheckpoint()
+    is_new = F.pmod(F.col("doc_id"), F.lit(INCR_NEW_MOD)) == 0
+    index_bands = bands.filter(~is_new)
+    probe_bands = bands.filter(is_new)
+
+    # --- maintenance: append-only bucketed writes, O(delta buckets) ---
+    fmt = SnapshotParquetFormat(str(tmp_path / "bandidx"), spark)
+    first = index_bands.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    delta = index_bands.filter(F.pmod("doc_id", F.lit(2)) == 0).limit(5)
+    fmt.append_bucketed("band_index", first, "band_key", num_buckets=16)
+    before = dict(fmt.current_manifest()["tables"]["band_index"]["buckets"])
+    fmt.append_bucketed("band_index", delta)
+    after = dict(fmt.current_manifest()["tables"]["band_index"]["buckets"])
+    untouched = [b for b in before if before[b] == after[b]]
+    assert untouched, "append must carry untouched bucket dirs forward"
+    # nothing dropped: same band_key never evicts existing posting rows
+    assert fmt.read("band_index").count() == first.count() + delta.count()
+
+    # --- probe plan: index side storage-partitioned, probe side shuffles ---
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql("DROP TABLE IF EXISTS band_index_b")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/band_index_b", ignore_errors=True)
+    (
+        index_bands.write.bucketBy(16, "band_key").sortBy("band_key")
+        .mode("overwrite").saveAsTable("band_index_b")
+    )
+    idx = spark.table("band_index_b").select(
+        F.col("doc_id").alias("indexed_doc"),
+        F.col("band").alias("i_band"),
+        F.col("band_sig").alias("i_band_sig"),
+        "band_key",
+    )
+    # The join key is band_key ALONE — an equality filter on
+    # (band, band_sig) would be folded into the join keys by Catalyst
+    # and defeat the bucket match; instead the real-signature equality
+    # is verified inside the aggregate (conditional count + HAVING),
+    # which stays out of the join condition. band_key collisions are
+    # therefore joined but counted as 0 and dropped — exact.
+    probed = (
+        probe_bands.select(
+            F.col("doc_id").alias("new_doc"), "band", "band_sig", "band_key"
+        )
+        .join(idx, "band_key")
+        .groupBy("new_doc", "indexed_doc")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("band") == F.col("i_band"))
+                    & (F.col("band_sig") == F.col("i_band_sig")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_bands_match")
+        )
+        .filter(F.col("n_bands_match") > 0)
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE pre-join Exchange (probe side, on band_key) — the
+    # index side reads its buckets in place (Bucketed: true, no
+    # Exchange below the join on that side)
+    assert plan.count("Exchange hashpartitioning(band_key") == 1, plan[:1500]
+    assert "Bucketed: true" in plan, plan[:1500]
+    index_subtree = plan.split("SortMergeJoin")[-1].split("FileScan")[0]
+    assert "Exchange" not in index_subtree.rsplit("Sort ", 1)[-1]
+    # value-level: same pairs as the registered incremental query
+    expected = sorted(
+        tuple(r) for r in q_minhash_incremental_pairs(spark, sf_dir).collect()
+    )
+    got = sorted(tuple(r) for r in probed.collect())
+    assert got == expected
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
