@@ -33,6 +33,23 @@ def h60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def fan_out(df, min_parts: int | None = None):
+    """Give per-row-EXPENSIVE stages (tokenize / shingle explode /
+    per-shingle hashing) full parallelism even when the upstream scan
+    has few splits. At 100 TB a parquet scan yields thousands of
+    byte-sized splits and this is a no-op; at the bench/test SFs a
+    table is often ONE file, which pins the whole text pipeline to a
+    single task (measured at sf0.1: the shingle explode ran 1-wide —
+    2.6s of a 6.5s pair-generation pass with 31 cores idle).
+    Round-robin repartition is safe here: every consumer is
+    order-insensitive (groupBy / join / distinct)."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def words_col(text_col):
     """Lowercased alnum word array, empties stripped — the shared
     tokenizer contract with the SQL oracles."""
@@ -89,12 +106,14 @@ FROM words GROUP BY 1 HAVING count(*) > 1
 
 # --- MinHash signatures ------------------------------------------------------
 def q_minhash_signatures(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select(
+    # fan_out BEFORE the tokenizer projection: the regex word split is
+    # the per-row-expensive part and must run post-shuffle, full-width
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id", words_col(F.col("text")).alias("w")
     )
     # distinct before the 8x perm explode: min() over duplicate
     # shingles is identical, the exploded volume is not
-    sh = docs.select(
+    sh = fan_out(docs).select(
         "doc_id", F.explode(shingles_col(F.col("w"))).alias("sh")
     ).distinct()
     perms = sh.select(
@@ -128,7 +147,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     computes all MINHASH_PERMS mins as COLUMNS of one groupBy(doc_id)
     — no 8x row explosion, one shuffle instead of two, and the band
     signatures are plain column concats (perm order == column order)."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id", words_col(F.col("text")).alias("w")
     )
     return minhash_band_pairs(docs)
@@ -139,7 +158,7 @@ def minhash_band_table(docs):
     storable index unit: production keeps this table bucketed by
     hash(band_sig) so an incremental probe shuffles only the new-docs
     side (same storage-partitioned-join shape as the seen filter)."""
-    sh = docs.select(
+    sh = fan_out(docs).select(
         "doc_id", F.explode(shingles_col(F.col("w"))).alias("sh")
     ).distinct()
     sig = sh.groupBy("doc_id").agg(
@@ -213,7 +232,7 @@ WHERE a.doc_id < b.doc_id
 
 # --- SimHash ------------------------------------------------------------------
 def q_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id", words_col(F.col("text")).alias("w")
     )
     toks = docs.select("doc_id", F.explode("w").alias("tok")).withColumn(
@@ -257,10 +276,10 @@ FROM bit_sums GROUP BY doc_id
 
 # --- n-gram Jaccard near-dup pairs -------------------------------------------
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id", words_col(F.col("text")).alias("w")
     )
-    sh = docs.select(
+    sh = fan_out(docs).select(
         "doc_id", F.explode(shingles_col(F.col("w"))).alias("sh")
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -387,7 +406,7 @@ FROM words
 
 # --- token counting (whitespace + BPE-ish regex) --------------------------------
 def q_token_count(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     ws_tokens = F.size(words_col(F.col("text")))
     bpe_ish = F.size(
         F.regexp_extract_all(
@@ -442,7 +461,7 @@ def q_quality_gopher(spark, sf_dir):
     bounds, mean word length bounds, alphabetic-word ratio, stopword
     floor — the keep/drop decision a training-data pipeline applies
     before dedup. All ratios as floor-micro integers."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     w = words_col(F.col("text"))
     n_words = F.size(w)
     total_chars = F.aggregate(
@@ -542,7 +561,7 @@ def corpus_clean_docs(docs):
         & (stop >= 2)
     )
     is_en = F.size(F.filter(w, lambda x: x.isin("the", "and", "of", "a"))) >= 1
-    enriched = docs.select(
+    enriched = fan_out(docs).select(
         "doc_id", "source",
         n_words.alias("n_tokens"),
         w.alias("w"),
@@ -617,7 +636,7 @@ def q_minhash_incremental_pairs(spark, sf_dir):
     pairs as this query). Pairs report how many of the 4 bands collide
     (the LSH similarity certificate). New-vs-new dedup is the
     already-covered minhash_lsh_pairs self-join over the small batch."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id", words_col(F.col("text")).alias("w")
     )
     bands = minhash_band_table(docs).localCheckpoint()
