@@ -24,6 +24,7 @@ from openslack_crawler_spark import (
     queries_media,
     queries_pipeline,
     queries_pretrain,
+    queries_quality,
     queries_relational,
     queries_sessions,
     queries_similarity,
@@ -42,6 +43,7 @@ _REGISTRIES = [
     queries_ivf.REGISTRY,
     queries_fulltext.REGISTRY,
     queries_pretrain.REGISTRY,
+    queries_quality.REGISTRY,
 ]
 
 # The driver's correctness gate checks the FIRST 50 queries in iteration

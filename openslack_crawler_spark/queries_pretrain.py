@@ -126,6 +126,41 @@ FROM scaled
 """
 
 
+# --- epochs per source for a target token budget ---------------------------
+TARGET_TOKENS = 10_000_000  # training-run token budget (sandbox-sized)
+
+
+def q_mix_epochs(spark, sf_dir):
+    """Turn the temperature mix into a concrete sampling plan: source s
+    contributes TARGET_TOKENS * weight of the training stream, which
+    means epochs(s) = budget_s / tokens_s passes over the source —
+    small sources get >1 epoch (upsampling), big ones a fraction. All
+    integer arithmetic (exact DIV), emitted in milli-epochs; the plan
+    is the post-agg table of ~#sources rows, driver-scale by
+    construction."""
+    w = q_mix_weights_temperature(spark, sf_dir)
+    return w.select(
+        "source",
+        "n_tokens",
+        "weight_ppm",
+        F.expr(
+            f"({TARGET_TOKENS} * weight_ppm) DIV 1000000"
+        ).alias("budget_tokens"),
+        F.expr(
+            f"({TARGET_TOKENS} * weight_ppm * 1000) DIV (1000000 * n_tokens)"
+        ).alias("epochs_milli"),
+    )
+
+
+SQL_MIX_EPOCHS = f"""
+WITH mix AS ({{mix_sql}})
+SELECT source, n_tokens, weight_ppm,
+       ({TARGET_TOKENS} * weight_ppm) // 1000000 AS budget_tokens,
+       ({TARGET_TOKENS} * weight_ppm * 1000) // (1000000 * n_tokens) AS epochs_milli
+FROM mix
+"""
+
+
 # --- token-budget shard packing --------------------------------------------
 def q_corpus_shard_pack(spark, sf_dir):
     """Greedy token-budget packing of docs into training shards.
@@ -330,6 +365,10 @@ REGISTRY: dict[str, tuple] = {
         SQL_MIX_WEIGHTS_TEMPERATURE,
     ),
     "corpus_shard_pack": (q_corpus_shard_pack, SQL_CORPUS_SHARD_PACK),
+    "mix_epochs": (
+        q_mix_epochs,
+        SQL_MIX_EPOCHS.format(mix_sql=SQL_MIX_WEIGHTS_TEMPERATURE),
+    ),
     "decontaminate_overlap": (q_decontaminate_overlap, SQL_DECONTAMINATE_OVERLAP),
     "pii_scan": (q_pii_scan, SQL_PII_SCAN),
 }
