@@ -56,11 +56,12 @@ _REGISTRIES = [
 # — re-verify the oracle cast fix), and the composite pipelines whose
 # answers depend on many operators at once.
 _WINDOW = [
-    # crawl core: joins, frontier, scheduling
+    # crawl core: joins, frontier, scheduling (json_extract rotated
+    # out r3-green; C15/C16 stay locally checked)
     "seen_antijoin", "blacklist_antijoin", "dequeue_topk_per_host",
     "global_pop", "merge_upsert", "semi_join_info", "media_freshness",
     "info_by_crawlid", "depth_decay", "politeness_slots",
-    "url_canonicalize", "json_extract",
+    "url_canonicalize",
     # ingest/pipeline + the end-to-end crawl
     "request_ingest", "streaming_window_counts", "multimodal_features",
     "content_type_filter", "retry_union", "crawl_e2e", "crawl_e2e_summary",
@@ -70,15 +71,19 @@ _WINDOW = [
     # quality_score, token_count, doc_fingerprint, quality_gopher)
     "dedup_exact", "minhash_lsh_pairs", "minhash_incremental_pairs",
     "corpus_clean_pipeline", "corpus_clean_fuzzy",
+    # NEW round-4 ops — in-window immediately so they get a driver
+    # check their first round on the registry
+    "chunk_dedup", "repetition_ratio",
     # pretraining-corpus assembly (rotated out, r3-green:
     # corpus_sample_stratified, decontaminate_overlap, pii_scan)
-    "mix_weights_temperature", "corpus_shard_pack",
-    # similarity / ANN (rotated out, r3-green: ann_lsh_multiband_topk)
-    "ann_cosine_topk", "ann_lsh_topk", "embedding_neardup_pairs",
+    "mix_weights_temperature", "corpus_shard_pack", "mix_epochs",
+    # similarity / ANN (rotated out, r3-green: ann_lsh_multiband_topk,
+    # embedding_neardup_pairs)
+    "ann_cosine_topk", "ann_lsh_topk",
     "dedup_components", "ann_ivf_topk",
     # full-text + media (rotated out, r3-green: text_match_topk,
-    # docs_with_children, sessionize, seen_ttl_expiry)
-    "text_bm25_topk", "media_thumbnails", "media_content_dedup",
+    # docs_with_children, sessionize, seen_ttl_expiry, media_thumbnails)
+    "text_bm25_topk", "media_content_dedup",
     "media_frame_sample", "media_fetch_plan",
     # never-driver-verified singles (r1-green-only or local-only so far)
     "host_extract", "pricing_summary", "top_revenue_orders",

@@ -11,9 +11,11 @@ import __spark_entry__ as entry
 FLAGSHIPS = [
     "seen_antijoin", "crawl_e2e", "crawl_e2e_summary",
     "dedup_components", "ann_ivf_topk",
-    "media_content_dedup", "media_thumbnails", "corpus_clean_fuzzy",
+    "media_content_dedup", "corpus_clean_fuzzy",
     "corpus_clean_pipeline", "minhash_lsh_pairs",
     "text_bm25_topk", "mix_weights_temperature", "corpus_shard_pack",
+    # new round-4 ops, in-window their first round
+    "chunk_dedup", "repetition_ratio", "mix_epochs",
     # round-4 rotation targets: never driver-verified before this round
     "minhash_incremental_pairs", "media_frame_sample", "host_extract",
     "pricing_summary", "top_revenue_orders", "stats_max_min",
