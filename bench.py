@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "corpus_clean_pipeline",
     "corpus_clean_fuzzy",
     "media_frame_sample",
+    "chunk_dedup",
+    "repetition_ratio",
 ]
 
 
