@@ -134,6 +134,15 @@ def bm25_topk(docs, terms: list[str], k: int):
         F.count(F.lit(1)),
         F.sum("doc_len").cast("long"),
     ).first()
+    if not n_docs or not total_len:
+        # empty/degenerate corpus: total_len is NULL and interpolating
+        # the literal `None` below would raise at analysis time — the
+        # correct answer is simply no hits, with the output schema intact
+        return docs.select(
+            "doc_id",
+            F.lit(0).cast("int").alias("terms_matched"),
+            F.lit(0).cast("long").alias("bm25_score"),
+        ).limit(0)
     hits = (
         words.select("doc_id", F.explode("w").alias("term"))
         .filter(F.col("term").isin(terms))

@@ -115,7 +115,11 @@ def q_repetition_ratio(spark, sf_dir):
         F.when(
             F.size("w") > 0,
             F.floor(
-                (F.size("w") - F.size(F.array_distinct("w")))
+                # cast BEFORE the multiply: F.size is int32 and so is the
+                # literal — >~2147 duplicate words would overflow and wrap
+                # silently (non-ANSI) while the DuckDB oracle computes the
+                # same product in BIGINT
+                (F.size("w") - F.size(F.array_distinct("w"))).cast("long")
                 * 1000000
                 / F.size("w")
             ),
