@@ -232,7 +232,13 @@ WHERE a.doc_id < b.doc_id
 
 # --- SimHash ------------------------------------------------------------------
 def q_simhash(spark, sf_dir):
-    docs = fan_out(_t(spark, sf_dir, "documents")).select(
+    # no fan_out: the tokenize stage feeds straight into the bit-sum
+    # aggregation, whose partial (map-side) combine already runs inside
+    # the scan stage — a round-robin Exchange of the full text column
+    # costs more than the 1-wide tokenize saves (measured r3→r4:
+    # 0.76s→1.23s at sf0.1). At 100 TB the scan has thousands of
+    # splits and parallelism is free.
+    docs = _t(spark, sf_dir, "documents").select(
         "doc_id", words_col(F.col("text")).alias("w")
     )
     toks = docs.select("doc_id", F.explode("w").alias("tok")).withColumn(
@@ -406,7 +412,9 @@ FROM words
 
 # --- token counting (whitespace + BPE-ish regex) --------------------------------
 def q_token_count(spark, sf_dir):
-    docs = fan_out(_t(spark, sf_dir, "documents"))
+    # pure narrow map — no shuffle belongs in this plan at any scale
+    # (fan_out's round-robin Exchange doubled its runtime at sf0.1)
+    docs = _t(spark, sf_dir, "documents")
     ws_tokens = F.size(words_col(F.col("text")))
     bpe_ish = F.size(
         F.regexp_extract_all(
@@ -460,8 +468,12 @@ def q_quality_gopher(spark, sf_dir):
     """Rule-based quality gate (Gopher/C4-style heuristics): doc length
     bounds, mean word length bounds, alphabetic-word ratio, stopword
     floor — the keep/drop decision a training-data pipeline applies
-    before dedup. All ratios as floor-micro integers."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
+    before dedup. All ratios as floor-micro integers.
+
+    Narrow map — no fan_out: a shuffle of the full text column to win
+    parallelism cost +60% at sf0.1 (r4); the plan must stay
+    Exchange-free (asserted in test_fan_out.py)."""
+    docs = _t(spark, sf_dir, "documents")
     w = words_col(F.col("text"))
     n_words = F.size(w)
     total_chars = F.aggregate(

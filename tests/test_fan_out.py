@@ -30,3 +30,32 @@ def test_fan_out_noop_when_already_wide(spark):
 def test_fan_out_respects_explicit_min_parts(spark):
     df = spark.range(100).coalesce(1)
     assert fan_out(df, min_parts=5).rdd.getNumPartitions() == 5
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_token_count_plan_is_exchange_free(spark):
+    """Round-5: narrow-map text queries must not shuffle (the r4 fan_out
+    Exchange doubled token_count's runtime; VERDICT r4 'What's wrong' #2)."""
+    from openslack_crawler_spark.queries_textdedup import q_token_count
+
+    plan = _executed_plan(q_token_count(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_quality_gopher_plan_is_exchange_free(spark):
+    from openslack_crawler_spark.queries_textdedup import q_quality_gopher
+
+    plan = _executed_plan(q_quality_gopher(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_simhash_plan_has_no_roundrobin_exchange(spark):
+    """simhash keeps its two aggregation shuffles (hash partitioning on
+    the groupBy keys) but must not round-robin the raw text column."""
+    from openslack_crawler_spark.queries_textdedup import q_simhash
+
+    plan = _executed_plan(q_simhash(spark, "/root/testdata/sf0.001"))
+    assert "RoundRobinPartitioning" not in plan, plan[:800]
