@@ -25,6 +25,7 @@ from openslack_crawler_spark import (
     queries_pipeline,
     queries_pretrain,
     queries_quality,
+    queries_recall,
     queries_relational,
     queries_sessions,
     queries_similarity,
@@ -44,52 +45,58 @@ _REGISTRIES = [
     queries_fulltext.REGISTRY,
     queries_pretrain.REGISTRY,
     queries_quality.REGISTRY,
+    queries_recall.REGISTRY,
 ]
 
 # The driver's correctness gate checks the FIRST 50 queries in iteration
-# order. Round-4 rotation: the 16 queries that had never been inside the
-# window in any round (VERDICT r3 "What's missing" #1) move in; 16
-# r3-driver-green single-operator entries rotate out (their on-record
-# driver pass stands, and tools/check_oracle.py still checks them
-# locally every session). Kept in place: the §2 crawl core, the two
-# round-3 hash-fail queries (mix_weights_temperature, corpus_shard_pack
-# — re-verify the oracle cast fix), and the composite pipelines whose
-# answers depend on many operators at once.
+# order. Round-5 rotation follows the STALE-GREEN RULE (VERDICT r4
+# "What's wrong" #1, now enforced by tests/test_rotation_guard.py +
+# greenmap.json): any query whose implementing module changed since its
+# last driver-green round must be in this window. 28 queries are
+# module-stale this round (the fan_out removals re-touched
+# queries_textdedup, plus staleness inherited from r2-r4 edits that the
+# old bookkeeping never surfaced); 6 more re-enter manually because the
+# OPERATOR modules they exercise changed (seen_filter bloom gate,
+# components small-star — module-level hashing can't see those);
+# ann_recall_report is new. The remaining 15 slots keep the §2 crawl
+# core and the ANN/pretrain queries the recall/bench work leans on.
 _WINDOW = [
-    # crawl core: joins, frontier, scheduling (json_extract rotated
-    # out r3-green; C15/C16 stay locally checked)
+    # crawl core (kept in: always-on §2 flagship surface; seen_antijoin
+    # + bloom_prefilter_dedup + crawl_e2e* also re-enter because
+    # operators/seen_filter.py changed this round)
     "seen_antijoin", "blacklist_antijoin", "dequeue_topk_per_host",
-    "global_pop", "merge_upsert", "semi_join_info", "media_freshness",
-    "info_by_crawlid", "depth_decay", "politeness_slots",
-    "url_canonicalize",
-    # ingest/pipeline + the end-to-end crawl
-    "request_ingest", "streaming_window_counts", "multimodal_features",
-    "content_type_filter", "retry_union", "crawl_e2e", "crawl_e2e_summary",
+    "global_pop", "merge_upsert", "depth_decay", "politeness_slots",
+    "url_canonicalize", "multimodal_features", "content_type_filter",
+    "retry_union", "crawl_e2e", "crawl_e2e_summary",
     "bloom_prefilter_dedup",
-    # text dedup + corpus pipelines (rotated out, all r3-green:
-    # minhash_signatures, simhash, ngram_jaccard_pairs, lang_id,
-    # quality_score, token_count, doc_fingerprint, quality_gopher)
-    "dedup_exact", "minhash_lsh_pairs", "minhash_incremental_pairs",
-    "corpus_clean_pipeline", "corpus_clean_fuzzy",
-    # NEW round-4 ops — in-window immediately so they get a driver
-    # check their first round on the registry
+    # module-stale: queries_textdedup.py (fan_out removal, r5)
+    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
+    "minhash_incremental_pairs", "simhash", "ngram_jaccard_pairs",
+    "lang_id", "quality_score", "token_count", "doc_fingerprint",
+    "quality_gopher",
+    # module-stale: queries_quality.py (dup_word_micro long cast, r5)
     "chunk_dedup", "repetition_ratio",
-    # pretraining-corpus assembly (rotated out, r3-green:
-    # corpus_sample_stratified, decontaminate_overlap, pii_scan)
-    "mix_weights_temperature", "corpus_shard_pack", "mix_epochs",
-    # similarity / ANN (rotated out, r3-green: ann_lsh_multiband_topk,
-    # embedding_neardup_pairs)
-    "ann_cosine_topk", "ann_lsh_topk",
-    "dedup_components", "ann_ivf_topk",
-    # full-text + media (rotated out, r3-green: text_match_topk,
-    # docs_with_children, sessionize, seen_ttl_expiry, media_thumbnails)
-    "text_bm25_topk", "media_content_dedup",
-    "media_frame_sample", "media_fetch_plan",
-    # never-driver-verified singles (r1-green-only or local-only so far)
-    "host_extract", "pricing_summary", "top_revenue_orders",
-    "stats_max_min", "event_gaps", "fifo_pop", "lifo_pop", "json_export",
-    "null_strip_collapse", "date_parse_natural", "content_disposition",
-    "rule_routing", "string_processors",
+    # module-stale: queries_fulltext.py (bm25 empty-corpus guard, r5)
+    "text_match_topk", "text_bm25_topk", "docs_with_children",
+    # module-stale: queries_pipeline.py / queries_media.py edits (r3/r4)
+    # whose greens predate them — the holes the old rotation never saw
+    "cache_rewrite", "duration_normalize", "headers_multimap",
+    "ua_rotation", "media_keys",
+    # module-stale: queries_pretrain.py (r4 HUGEINT casts landed after
+    # these three's r3 greens)
+    "corpus_sample_stratified", "decontaminate_overlap", "pii_scan",
+    # module-stale: queries_similarity.py (r4 kernel work postdates
+    # their r3 greens)
+    "ann_lsh_multiband_topk", "embedding_neardup_pairs", "lsh_buckets",
+    # operators/components.py changed (small-star round-halving, r5)
+    "dedup_components", "corpus_clean_fuzzy",
+    # composite over textdedup (module-stale)
+    "corpus_clean_pipeline",
+    # NEW round-5 query — in-window its first round on the registry
+    "ann_recall_report",
+    # ANN + pretrain staples the recall report and bench grade against
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "mix_weights_temperature", "corpus_shard_pack",
 ]
 
 

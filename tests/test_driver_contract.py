@@ -9,20 +9,18 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 FLAGSHIPS = [
+    # the crawl core + composite pipelines: always in-window (their
+    # answers depend on many operators at once, so they catch cross-
+    # cutting regressions the single-op queries can't)
     "seen_antijoin", "crawl_e2e", "crawl_e2e_summary",
     "dedup_components", "ann_ivf_topk",
-    "media_content_dedup", "corpus_clean_fuzzy",
-    "corpus_clean_pipeline", "minhash_lsh_pairs",
-    "text_bm25_topk", "mix_weights_temperature", "corpus_shard_pack",
-    # new round-4 ops, in-window their first round
-    "chunk_dedup", "repetition_ratio", "mix_epochs",
-    # round-4 rotation targets: never driver-verified before this round
-    "minhash_incremental_pairs", "media_frame_sample", "host_extract",
-    "pricing_summary", "top_revenue_orders", "stats_max_min",
-    "event_gaps", "fifo_pop", "lifo_pop", "json_export",
-    "null_strip_collapse", "date_parse_natural", "content_disposition",
-    "rule_routing", "media_fetch_plan", "string_processors",
+    "corpus_clean_fuzzy", "corpus_clean_pipeline", "minhash_lsh_pairs",
+    "text_bm25_topk",
+    # new round-5 query, in-window its first round
+    "ann_recall_report",
 ]
+# rotation completeness (which stale/new queries must be in-window) is
+# enforced mechanically by tests/test_rotation_guard.py + greenmap.json
 
 
 def test_window_is_exactly_50_and_resolvable():

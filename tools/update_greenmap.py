@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Maintain greenmap.json — the per-query record of the last DRIVER-green
+round and the sha256 of the implementing module AT that round.
+
+Closes the round-4 rotation hole (VERDICT r4, "What's wrong" #1): a
+query whose module changed after its last driver-green must re-enter
+the 50-query correctness window; tests/test_rotation_guard.py enforces
+that by comparing each module's current sha against this map.
+
+Usage:
+  python tools/update_greenmap.py                # rebuild from all CORRECTNESS_r*.json
+  python tools/update_greenmap.py --round 5      # fold in round 5 results with
+                                                 # CURRENT module contents (run right
+                                                 # after a round's CORRECTNESS lands)
+
+Bootstrap mode resolves each module's content at the round's driver
+commit (the `round N: verdict/...` commit) via git, so greens recorded
+in past rounds carry the module sha the driver actually verified.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "greenmap.json")
+
+
+def query_modules() -> dict[str, list[str]]:
+    """query name -> repo-relative path (singleton list) of the
+    implementing module. Granularity is deliberately MODULE-level (the
+    VERDICT r4 rule): editing a query module re-windows every query it
+    defines. Edits to operator modules a query merely imports are NOT
+    auto-detected — when touching operators/, manually re-window the
+    queries that exercise them (round-5 practice: seen_filter ->
+    bloom_prefilter_dedup/seen_antijoin/crawl_e2e*, components ->
+    dedup_components/corpus_clean_fuzzy). A one-level import-closure
+    variant was measured too broad: editing the shared textdedup
+    helpers flagged 54 of 85 queries — more than the window holds."""
+    import __spark_entry__ as entry
+
+    out = {}
+    for name, fn in entry.queries().items():
+        mod = sys.modules[fn.__module__]
+        out[name] = [os.path.relpath(mod.__file__, REPO)]
+    return out
+
+
+def is_green(rec: dict) -> bool:
+    if rec.get("err") == "no_oracle":  # rows-only contract (crawl_e2e)
+        return bool(rec.get("rows_match") or rec.get("spark_rows", 0) >= 0)
+    return bool(
+        rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
+    )
+
+
+def round_commit(n: int) -> str | None:
+    out = subprocess.run(
+        ["git", "log", "--all", "--format=%H %s"],
+        capture_output=True, text=True, cwd=REPO,
+    ).stdout
+    for line in out.splitlines():
+        sha, _, subj = line.partition(" ")
+        if re.match(rf"^round {n}: ", subj):
+            return sha
+    return None
+
+
+def sha_at(paths: list[str], commit: str | None) -> str | None:
+    """Combined sha256 over the dep closure's file contents (sorted
+    path order). None if any file is unreadable at that commit."""
+    acc = hashlib.sha256()
+    for path in sorted(paths):
+        if commit is None:  # current working tree
+            full = os.path.join(REPO, path)
+            if not os.path.exists(full):
+                return None
+            data = open(full, "rb").read()
+        else:
+            p = subprocess.run(
+                ["git", "show", f"{commit}:{path}"],
+                capture_output=True, cwd=REPO,
+            )
+            if p.returncode != 0:
+                return None
+            data = p.stdout
+        acc.update(path.encode() + b"\x00" + data + b"\x00")
+    return acc.hexdigest()
+
+
+def stale_queries() -> list[str]:
+    """Queries whose dep-closure content changed since their recorded
+    driver-green (the set the rotation rule forces into the window)."""
+    greenmap = json.load(open(OUT)) if os.path.exists(OUT) else {}
+    mods = query_modules()
+    out = []
+    for name, deps in mods.items():
+        rec = greenmap.get(name)
+        if rec is None or sha_at(rec["deps"], None) != rec["deps_sha"]:
+            out.append(name)
+    return sorted(out)
+
+
+def main() -> None:
+    if "--stale" in sys.argv:
+        for name in stale_queries():
+            print(name)
+        return
+    mods = query_modules()
+    greenmap: dict[str, dict] = {}
+    if "--round" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--round") + 1])
+        greenmap = json.load(open(OUT)) if os.path.exists(OUT) else {}
+        rounds = [(n, None)]  # current tree contents
+    else:
+        rounds = [
+            (int(re.search(r"r(\d+)", f).group(1)), None)
+            for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+        ]
+        rounds = [(n, round_commit(n)) for n, _ in rounds]
+    for n, commit in rounds:
+        path = os.path.join(REPO, f"CORRECTNESS_r{n:02d}.json")
+        if not os.path.exists(path):
+            continue
+        recs = json.load(open(path))
+        for name, rec in recs.items():
+            if name not in mods or not is_green(rec):
+                continue
+            sha = sha_at(mods[name], commit)
+            if sha is None:
+                continue
+            greenmap[name] = {
+                "green_round": n,
+                "deps": mods[name],
+                "deps_sha": sha,
+            }
+    json.dump(greenmap, open(OUT, "w"), indent=1, sort_keys=True)
+    print(f"greenmap.json: {len(greenmap)} queries recorded")
+
+
+if __name__ == "__main__":
+    main()
