@@ -42,10 +42,27 @@ from ..operators.linkextract import (
     links_to_candidates,
 )
 from ..operators.components import _ckpt
-from ..operators.seen_filter import PartitionedBloom, filter_unseen, first_wins_dedup
+from ..operators.seen_filter import (
+    PartitionedBloom,
+    choose_unseen_path,
+    filter_unseen,
+    first_wins_dedup,
+)
+
+
 from ..operators.sequence import with_dense_seq
 from ..sources.table_format import SnapshotParquetFormat
 from ..functions.url import with_url_columns
+
+
+def _bloom_enabled(cfg) -> bool:
+    """Resolve CrawlConfig.use_bloom: explicit True/False wins; "auto"
+    asks the calibrated gate (exact beats bloom whenever the snapshot
+    store's seen table is scannable — which, here, it always is)."""
+    if cfg.use_bloom == "auto":
+        return choose_unseen_path(seen_scannable=True) == "bloom"
+    return bool(cfg.use_bloom)
+
 
 def fetch_order():
     """Deterministic total order of fetches within a round."""
@@ -62,7 +79,13 @@ class CrawlConfig:
     k_per_host: int = 8          # per-host batch budget per round
     maxdepth: int = 2            # scraper_schema.json:22-26 caps at 3
     salt_buckets: int = 16
-    use_bloom: bool = False
+    # URL-seen path: False = exact anti-join (the measured winner at
+    # every scannable operating point — seen_filter.choose_unseen_path),
+    # True = maintain + use the bloom prefilter (only for deployments
+    # whose seen side is not scannable at join time), "auto" = let the
+    # gate decide (resolves to exact here: the crawl store's seen table
+    # is always a local parquet snapshot)
+    use_bloom: bool | str = "auto"
     deny_extensions: list | None = None
     allowed_domains: list | None = None
     allow_regex: str | None = None
@@ -167,7 +190,7 @@ def bootstrap(
     )
     next_seq = (frontier0.agg(F.max("enqueue_seq")).collect()[0][0] or 0) + 1
     updates = {"frontier": frontier0, "seen": seen0, "robots": robots}
-    if cfg.use_bloom:
+    if _bloom_enabled(cfg):
         bloom = PartitionedBloom()
         updates["bloom"] = bloom.build(seen0)
     return fmt.commit(updates, meta={"round": 0, "next_seq": int(next_seq)})
@@ -273,7 +296,7 @@ def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
         checkpoint_dir=cfg.checkpoint_dir,
     )
     cands = first_wins_dedup(cands, "_cand_rank")
-    if cfg.use_bloom and fmt.read("bloom") is not None:
+    if _bloom_enabled(cfg) and fmt.read("bloom") is not None:
         bloom = PartitionedBloom()
         fingerprinted = bloom.prefiltered_unseen(cands, seen, fmt.read("bloom"))
     else:
@@ -349,7 +372,7 @@ def run_round(fmt: SnapshotParquetFormat, cfg: CrawlConfig) -> dict:
         "fetch_log": fetch_log,
         "documents": documents,
     }
-    if cfg.use_bloom and fmt.read("bloom") is not None:
+    if _bloom_enabled(cfg) and fmt.read("bloom") is not None:
         updates["bloom"] = PartitionedBloom().merge(fmt.read("bloom"), new_seen)
     fmt.commit(
         updates,
