@@ -49,3 +49,34 @@ def test_crawl_rounds_with_reliable_checkpoint(spark, tmp_path):
     seen_a = {r.url_hash for r in fmt_a.read("seen").collect()}
     seen_b = {r.url_hash for r in fmt_b.read("seen").collect()}
     assert seen_a == seen_b
+
+
+def test_path_halving_chain_converges_logarithmically(spark):
+    """Round-5 pointer jumping: a 64-node path must converge in
+    O(log diameter) rounds — far fewer than the 63 the plain
+    propagation needed — and still label every node with the min id."""
+    from pyspark.sql import functions as F
+
+    from openslack_crawler_spark.operators.components import connected_components
+
+    chain = spark.range(63).selectExpr("id as src", "id+1 as dst")
+    # max_iter=12 >> log2(63) but << 63: only the halving path passes
+    labels = connected_components(chain, max_iter=12)
+    rows = labels.collect()
+    assert len(rows) == 64
+    assert all(r.component == 0 for r in rows)
+
+
+def test_components_two_cliques_and_isolated_edge(spark):
+    from openslack_crawler_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21)],
+        "src bigint, dst bigint",
+    )
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
