@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "media_frame_sample",
     "chunk_dedup",
     "repetition_ratio",
+    "ann_recall_report",
 ]
 
 
@@ -358,19 +359,18 @@ def membw_sentinel() -> float:
 
 
 GATE_TOTAL_BUDGET_SEC = 900.0  # cumulative gating cap across the whole run
-HW_GATE = 0.78  # turbo-differential floor: window can plausibly scale ≥0.8
 
 
 def quick_hw_ceiling() -> float:
     """~5s probe of the box's CURRENT parallel-scaling ceiling: one
-    pinned pure-ALU burn at 8 and at 32 procs (single rep each — the
-    gate needs direction, not precision). The round-1..3 record shows
-    the binding constraint on raw N-vs-4N efficiency is the turbo-clock
-    differential, and it VARIES by window: a fully quiet host gives the
-    8-wide run maximum turbo headroom (ceiling ~0.68-0.75), while a
-    window with moderate neighbor load on the package flattens clocks
-    (ceiling ~0.8+). Gating on this waits for windows where ≥0.8 is
-    physically reachable."""
+    pinned pure-ALU burn at 8 and at 32 procs (single rep each).
+    DIAGNOSTIC ONLY as of round 5 — recorded alongside rejected
+    windows so the turbo-differential story stays observable, but it
+    no longer ADMITS windows to the timed passes (the round-4 practice
+    of accepting neighbor-loaded windows because their flattened
+    clocks make ≥0.8 'reachable' selects for exactly the interference
+    the gate exists to exclude — advisor r4, high). Returns -1.0 on
+    any probe failure instead of aborting the bench."""
     import subprocess as sp
     import textwrap
 
@@ -391,16 +391,19 @@ def quick_hw_ceiling() -> float:
     import shutil as _sh
 
     secs = {}
-    for procs, cpus in ((CORES_LOW, f"0-{CORES_LOW - 1}"), (CORES_HIGH, f"0-{CORES_HIGH - 1}")):
-        cmd = [sys.executable, "-c", code, str(procs)]
-        if _sh.which("taskset"):
-            cmd = ["taskset", "-c", cpus] + cmd
-        secs[procs] = float(sp.run(cmd, capture_output=True, text=True).stdout.strip())
-    return round(
-        (CORES_HIGH / secs[CORES_HIGH]) / (CORES_LOW / secs[CORES_LOW])
-        / (CORES_HIGH / CORES_LOW),
-        3,
-    )
+    try:
+        for procs, cpus in ((CORES_LOW, f"0-{CORES_LOW - 1}"), (CORES_HIGH, f"0-{CORES_HIGH - 1}")):
+            cmd = [sys.executable, "-c", code, str(procs)]
+            if _sh.which("taskset"):
+                cmd = ["taskset", "-c", cpus] + cmd
+            secs[procs] = float(sp.run(cmd, capture_output=True, text=True).stdout.strip())
+        return round(
+            (CORES_HIGH / secs[CORES_HIGH]) / (CORES_LOW / secs[CORES_LOW])
+            / (CORES_HIGH / CORES_LOW),
+            3,
+        )
+    except (ValueError, OSError):
+        return -1.0
 
 
 def wait_for_quiet_host(
@@ -409,20 +412,23 @@ def wait_for_quiet_host(
     """Poll the sentinels until the window is GOOD for a scaling pass,
     or the wait budget runs out — never blocks the bench forever.
 
-    A good window needs two things (round-4 refinement):
-    - memory bandwidth quiet (bw within `tolerance` of the quietest
-      seen): bandwidth bursts poison Spark timings 2-3x;
-    - a hardware ceiling that can actually scale: EITHER the classic
-      fully-quiet condition (alu quiet too — the r1-r3 gate), OR
-      quick_hw_ceiling() >= HW_GATE. The all-quiet condition alone is
-      adversarial: an idle package gives the 8-wide run maximum turbo,
-      capping raw efficiency below the target no matter how clean the
-      run — windows with moderate neighbor ALU load but quiet
-      bandwidth are the ones where ≥0.8 is reachable.
+    Round-5 policy (advisor r4, high): a good window is the QUIET-HOST
+    condition only — memory bandwidth AND ALU within `tolerance` of the
+    quietest seen. The round-4 alternative acceptance path (neighbor-
+    loaded windows whose flattened turbo clocks made ≥0.8 'physically
+    reachable') is gone: it selected for interference that slows the
+    pinned 8-core baseline, inflating the 32v8 ratio — window-selection
+    bias, not measurement. The turbo confound is instead REPORTED,
+    separately and explicitly, via hw_scaling_ceiling() /
+    efficiency_vs_hw_ceiling / the equal-conditions run.
+
+    quick_hw_ceiling() is probed only for REJECTED noisy-ALU windows
+    (diagnostic: was the noise the turbo-flattening kind?) — never to
+    admit one.
 
     `gate` carries running minima {"alu","bw"} plus cumulative wait
     seconds ("spent") under the GLOBAL cap (driver harnesses time the
-    bench). Returns (alu_s, bw_s, hw_ceiling)."""
+    bench). Returns (alu_s, bw_s, hw_ceiling_diag)."""
     budget_left = GATE_TOTAL_BUDGET_SEC - gate.get("spent", 0.0)
     deadline = time.monotonic() + min(max_wait_sec, max(0.0, budget_left))
     t0 = time.monotonic()
@@ -434,8 +440,8 @@ def wait_for_quiet_host(
             gate["bw"] = min(gate.get("bw", bw), bw)
             bw_quiet = bw <= gate["bw"] * tolerance
             alu_quiet = alu <= gate["alu"] * tolerance
-            hw = quick_hw_ceiling() if bw_quiet else -1.0
-            good = bw_quiet and (alu_quiet or hw >= HW_GATE)
+            good = bw_quiet and alu_quiet
+            hw = quick_hw_ceiling() if (bw_quiet and not alu_quiet) else -1.0
             if good or time.monotonic() >= deadline:
                 return alu, bw, hw
             time.sleep(15)
@@ -568,14 +574,18 @@ def main():
         sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
         raise RuntimeError(f"sched bench at {cores} cores produced no result")
 
-    # THREE+ interleaved passes per level (8,32 × 3), each pass GATED on
-    # a quiet-host sentinel: this box is a shared host whose
-    # memory-bandwidth noise comes in multi-minute bursts (measured 2-3x
-    # swings on identical back-to-back runs). Gating waits out a noisy
-    # window (bounded), interleaving decorrelates what remains, and both
-    # best-of and median are reported. If raw efficiency still lands
-    # under the 0.8 gate after 3 passes, up to 2 extra interleaved
-    # passes run — more samples, not a different metric.
+    # THREE+ passes, each pass = BOTH levels timed back-to-back in ONE
+    # quiet-host-gated window (the same-conditions pairing a real
+    # N-vs-4N cluster study gives every node). This box is a shared
+    # host whose memory-bandwidth noise comes in multi-minute bursts
+    # (measured 2-3x swings on identical back-to-back runs); gating
+    # waits out noisy windows (bounded), alternating level order
+    # decorrelates drift. The CONTRACT number is the MEDIAN of the
+    # per-pass paired ratios (advisor r4: max-of-pairs cherry-picks
+    # the pass whose 8-core baseline ran slowest — for a RATIO, noise
+    # is not one-sided, so best-of is biased upward). If the median
+    # lands under 0.8 after 3 passes, up to 3 extra passes run — more
+    # samples, never a different metric.
     gate: dict = {}
     pass_sentinels = []
 
@@ -596,10 +606,11 @@ def main():
             round((pair[CORES_LOW] / pair[CORES_HIGH]) / (CORES_HIGH / CORES_LOW), 3)
         )
 
+    import statistics
+
     def current_eff() -> float:
-        return (results[CORES_LOW]["sec"] / results[CORES_HIGH]["sec"]) / (
-            CORES_HIGH / CORES_LOW
-        )
+        # the contract number while sampling: median of paired ratios
+        return statistics.median(pass_pairs) if pass_pairs else 0.0
 
     # alternate the level order across passes so slow host drift
     # decorrelates from parallelism level
@@ -611,12 +622,9 @@ def main():
         run_pass(orders[(3 + extra) % 2])
         extra += 1
 
-    import statistics
-
     low, high = results[CORES_LOW], results[CORES_HIGH]
     med_low = statistics.median(results[f"passes_{CORES_LOW}"])
     med_high = statistics.median(results[f"passes_{CORES_HIGH}"])
-    speedup = low["sec"] / high["sec"]
     scaling = {
         "cores_low": CORES_LOW,
         "cores_high": CORES_HIGH,
@@ -626,27 +634,35 @@ def main():
         "sec_high": round(high["sec"], 3),
         "sec_low_median": round(med_low, 3),
         "sec_high_median": round(med_high, 3),
-        "speedup": round(speedup, 3),
-        "efficiency": round(speedup / (CORES_HIGH / CORES_LOW), 3),
-        "efficiency_median": round(
-            (med_low / med_high) / (CORES_HIGH / CORES_LOW), 3
+        # THE raw contract number: median of the per-pass paired ratios,
+        # every pass measured under the quiet-host gate (both levels
+        # back-to-back in one window). No max-of-pairs, no cross-window
+        # best-of ratio, no normalization — those appear below, labeled.
+        "efficiency": round(statistics.median(pass_pairs), 3)
+        if pass_pairs
+        else None,
+        "pass_efficiencies": pass_pairs,
+        "efficiency_paired_best": max(pass_pairs) if pass_pairs else None,
+        # supplemental: ratio of cross-window bests (the r1-r4 headline
+        # definition — kept for round-over-round comparability only)
+        "efficiency_best_of_levels": round(
+            (low["sec"] / high["sec"]) / (CORES_HIGH / CORES_LOW), 3
         ),
         "urls": N_URLS,
         "pass_secs_low": results[f"passes_{CORES_LOW}"],
         "pass_secs_high": results[f"passes_{CORES_HIGH}"],
-        # per-pass ratios: both levels timed back-to-back in ONE gated
-        # window — the same-conditions pairing a real N-vs-4N cluster
-        # study gives every node
-        "pass_efficiencies": pass_pairs,
-        "efficiency_paired_best": max(pass_pairs) if pass_pairs else None,
         "pass_sentinels": pass_sentinels,
         "cpu_sentinel_before": sentinel_before,
         "cpu_sentinel_after": cpu_sentinel(),
     }
+    # turbo-confound-adjusted figures — reported SEPARATELY from raw
+    # (the pinned 8-core baseline turbo-boosts ~1.2x on a quiet host;
+    # equal-clock N-vs-4N node clusters don't have that, so raw under-
+    # states the transferable number; see BENCH.md)
     hw = hw_scaling_ceiling()
     scaling["hw_ceiling"] = hw
     scaling["efficiency_vs_hw_ceiling"] = round(
-        scaling["efficiency"] / hw["hw_efficiency"], 3
+        (scaling["efficiency"] or 0.0) / hw["hw_efficiency"], 3
     )
 
     # Equal-conditions supporting measurement (only when raw misses the
@@ -659,7 +675,7 @@ def main():
     # core group sees the conditions the 32-core run creates for
     # itself. Measured on this box: idle 8-core overstates its own
     # throughput by ~1.5x vs loaded-neighbors 8-core.
-    if scaling["efficiency"] < 0.8 and _shutil.which("taskset"):
+    if (scaling["efficiency"] or 0.0) < 0.8 and _shutil.which("taskset"):
         import signal
 
         neighbors = []
@@ -733,7 +749,7 @@ def main():
         for k in (
             "cores_low", "cores_high", "sec_low", "sec_high",
             "urls_per_sec_low", "urls_per_sec_high", "efficiency",
-            "efficiency_median", "efficiency_paired_best",
+            "efficiency_paired_best", "efficiency_best_of_levels",
             "pass_efficiencies", "efficiency_vs_hw_ceiling", "urls",
         )
         if k in scaling
