@@ -81,12 +81,15 @@ def connected_components(
     # (checkpoint preserves the partitioning; measured −40% per round
     # at sf0.1)
     sym = _ckpt(sym.distinct().repartition(F.col("b")), checkpoint_dir)
-    # initial labels: lazy cut — the first label_sum below materializes
-    # them together with its aggregation (one job, not two)
+    # initial labels fused with the FIRST propagation hop: component0 =
+    # min(node, 1-hop neighborhood) is one groupBy over the edge list —
+    # no join — so the loop starts a full hop ahead for free (sym is
+    # symmetric, so every node appears as `a`). Lazy cut: the first
+    # label_sum below materializes it with its aggregation (one job).
     labels = _ckpt(
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node")),
+        sym.groupBy(F.col("a").alias("node")).agg(
+            F.least(F.first("a"), F.min("b")).alias("component")
+        ),
         checkpoint_dir,
         eager=False,
     )
@@ -99,32 +102,36 @@ def connected_components(
             ).collect()[0]["s"] or 0
         )
 
-    # convergence probe: labels only ever DECREASE (min-propagation), so
-    # the label multiset changed iff its sum changed — one cheap agg per
-    # round instead of a labels⋈labels join + filter + count
-    prev_sum = label_sum(labels)
-    for _ in range(max_iter):
-        # candidate labels arriving over edges
+    def step(lbl):
+        """One propagate + path-halving jump (pointer jump:
+        component <- label(component)). The jump's inner join is total
+        — every component value is a node id with a label row — and
+        labels only decrease, so the invariant holds."""
         incoming = (
-            sym.join(labels, sym.b == labels.node)
+            sym.join(lbl, sym.b == lbl.node)
             .select(F.col("a").alias("node"), "component")
         )
         stepped = (
-            labels.select("node", "component")
+            lbl.select("node", "component")
             .unionByName(incoming)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        # path halving (pointer jump): component <- label(component).
-        # Total inner join — every component value is a node id with a
-        # label row — and labels only decrease, so the invariant holds.
         parent = stepped.selectExpr("node AS pnode", "component AS pcomp")
-        new_labels = _ckpt(
-            stepped.join(parent, stepped.component == parent.pnode)
-            .select("node", F.col("pcomp").alias("component")),
-            checkpoint_dir,
-            eager=False,
+        return stepped.join(parent, stepped.component == parent.pnode).select(
+            "node", F.col("pcomp").alias("component")
         )
+
+    # convergence probe: labels only ever DECREASE (min-propagation), so
+    # the label multiset changed iff its sum changed — one cheap agg per
+    # DOUBLE-round instead of a labels⋈labels join + filter + count.
+    # Two steps per probe: same total shuffle work, half the driver
+    # actions/lineage cuts; a stable sum across the pair still implies
+    # the fixed point (any label-non-uniform edge strictly lowers the
+    # sum in its next step).
+    prev_sum = label_sum(labels)
+    for _ in range(max_iter):
+        new_labels = _ckpt(step(step(labels)), checkpoint_dir, eager=False)
         new_sum = label_sum(new_labels)  # materializes the lazy cut
         labels = new_labels
         if new_sum == prev_sum:
