@@ -587,6 +587,14 @@ def main():
     # lands under 0.8 after 3 passes, up to 3 extra passes run — more
     # samples, never a different metric.
     gate: dict = {}
+    # Seed the gate's noise floor BEFORE the first pass: the quiet
+    # thresholds are relative to the quietest sample seen, so an
+    # unseeded gate admits whatever the first window looks like
+    # (r5 run 1: pass 1 ran at bw 11.8s vs the ~2.2s floor later
+    # samples established). ~30s of probes up front fixes it.
+    for _ in range(3):
+        gate["alu"] = min(gate.get("alu", 1e9), quick_sentinel())
+        gate["bw"] = min(gate.get("bw", 1e9), membw_sentinel())
     pass_sentinels = []
 
     pass_pairs = []  # per-pass (sec_low, sec_high) measured in ONE window
@@ -769,8 +777,12 @@ def main():
                 "sf": verbose["sf"],
                 "urls_per_sec": scaling["urls_per_sec_high"],
                 "scaling": compact_scaling,
-                "bigseen": {k: v["sec"] for k, v in bigseen.items()
-                            if isinstance(v, dict) and "sec" in v},
+                "bigseen": {
+                    **{k: v["sec"] for k, v in bigseen.items()
+                       if isinstance(v, dict) and "sec" in v},
+                    **{k: bigseen[k] for k in ("chosen_path", "chosen_sec")
+                       if k in bigseen},
+                },
                 "verbose_file": "bench_runs/bench_verbose_last.json",
             },
             separators=(",", ":"),
