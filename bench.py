@@ -494,6 +494,59 @@ def hw_scaling_ceiling() -> dict:
     }
 
 
+def sweep_stale_scratch(min_free_gb: float = 40.0, min_age_s: float = 900.0) -> None:
+    """Reclaim crash-leaked Spark scratch before the bench starts.
+
+    A killed Spark JVM leaves its /tmp/blockmgr-* and /tmp/spark-*
+    dirs behind (graceful shutdown removes them); observed round 5:
+    78 GB of orphans from a killed session filled the disk and the
+    next bench's 8-core level died with ENOSPC inside
+    DiskBlockObjectWriter mid-shuffle. Sweep is triple-guarded so a
+    healthy concurrent run is never touched: only when free space is
+    actually too low for the bench's shuffle footprint, only dirs
+    untouched for min_age_s, and only dirs no live process holds an
+    open file in.
+    """
+    import glob
+    import shutil
+
+    try:
+        st = os.statvfs("/tmp")
+    except OSError:
+        return
+    if st.f_bavail * st.f_frsize / 2**30 >= min_free_gb:
+        return
+
+    def _in_use(path: str) -> bool:
+        prefix = path.rstrip("/") + "/"
+        for fd_dir in glob.glob("/proc/[0-9]*/fd"):
+            try:
+                fds = os.listdir(fd_dir)
+            except OSError:
+                continue
+            for fd in fds:
+                try:
+                    tgt = os.readlink(os.path.join(fd_dir, fd))
+                except OSError:
+                    continue
+                if tgt.startswith(prefix):
+                    return True
+        return False
+
+    now = time.time()
+    freed = 0
+    for d in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
+        try:
+            if now - os.path.getmtime(d) < min_age_s or _in_use(d):
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+        freed += 1
+    if freed:
+        print(f"swept {freed} stale Spark scratch dirs from /tmp", file=sys.stderr)
+
+
 def run_query_bench() -> dict:
     import __spark_entry__ as entry
     from openslack_crawler_spark.session import get_spark
@@ -522,6 +575,7 @@ def run_query_bench() -> dict:
 
 
 def main():
+    sweep_stale_scratch()
     if "--sched-bench" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--cores") + 1])
         urls = int(sys.argv[sys.argv.index("--urls") + 1])

@@ -65,14 +65,19 @@ def q_chunk_dedup(spark, sf_dir):
     C4-style cleaning — the kept copy is the min doc_id, every other
     occurrence is removable without touching doc-level dedup."""
     docs = fan_out(_t(spark, sf_dir, "documents"))
+    # within-doc chunk dedup is row-level (array_distinct before the
+    # explode), so each (doc, chunk) emerges exactly once and the
+    # cross-doc occurrence count IS the distinct-doc count — count(*)
+    # partial-aggregates map-side where countDistinct(doc_id) would
+    # need a two-phase expand over every (chunk, doc) pair
     chunks = docs.select(
         "doc_id",
-        F.explode(chunks_col(words_col(F.col("text")))).alias("c"),
+        F.explode(F.array_distinct(chunks_col(words_col(F.col("text"))))).alias("c"),
     ).select("doc_id", h60(F.col("c")).alias("chunk_hash"))
     return (
         chunks.groupBy("chunk_hash")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("first_doc"),
         )
         .filter(F.col("n_docs") >= MIN_SHARED_DOCS)

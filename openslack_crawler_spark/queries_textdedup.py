@@ -105,26 +105,40 @@ FROM words GROUP BY 1 HAVING count(*) > 1
 
 
 # --- MinHash signatures ------------------------------------------------------
+def minhash_sig_wide(docs):
+    """(doc_id, m1..m{MINHASH_PERMS}) wide MinHash signatures over
+    (doc_id, w) in ONE map-side stage: within-doc shingle dedup is a
+    row-level array_distinct (min per doc only needs the doc's shingle
+    SET — a .distinct() here would Exchange every shingle string), and
+    all perms are min() COLUMNS of one groupBy(doc_id), so the explode,
+    the 8 per-shingle hashes, and the partial mins run inside the scan
+    stage; the only shuffle is the (doc_id, 8 longs) partial-agg rows."""
+    sh = fan_out(docs).select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(F.col("w")))).alias("sh")
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                h60(F.concat(F.lit(f"{p}|"), F.col("sh")))
+            ).alias(f"m{p}")
+            for p in range(1, MINHASH_PERMS + 1)
+        ]
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     # fan_out BEFORE the tokenizer projection: the regex word split is
     # the per-row-expensive part and must run post-shuffle, full-width
     docs = fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id", words_col(F.col("text")).alias("w")
     )
-    # distinct before the 8x perm explode: min() over duplicate
-    # shingles is identical, the exploded volume is not
-    sh = fan_out(docs).select(
-        "doc_id", F.explode(shingles_col(F.col("w"))).alias("sh")
-    ).distinct()
-    perms = sh.select(
+    # unpivot the wide signature back to the (doc_id, perm, minhash)
+    # row contract — a narrow generator over ~docs x 8 rows
+    stack_args = ", ".join(f"{p}, m{p}" for p in range(1, MINHASH_PERMS + 1))
+    return minhash_sig_wide(docs).select(
         "doc_id",
-        "sh",
-        F.explode(F.sequence(F.lit(1), F.lit(MINHASH_PERMS))).alias("perm"),
+        F.expr(f"stack({MINHASH_PERMS}, {stack_args}) AS (perm, minhash)"),
     )
-    hashed = perms.withColumn(
-        "h", h60(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("sh")))
-    )
-    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
 
 
 SQL_MINHASH_SIGNATURES = f"""
@@ -158,17 +172,7 @@ def minhash_band_table(docs):
     storable index unit: production keeps this table bucketed by
     hash(band_sig) so an incremental probe shuffles only the new-docs
     side (same storage-partitioned-join shape as the seen filter)."""
-    sh = fan_out(docs).select(
-        "doc_id", F.explode(shingles_col(F.col("w"))).alias("sh")
-    ).distinct()
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                h60(F.concat(F.lit(f"{p}|"), F.col("sh")))
-            ).alias(f"m{p}")
-            for p in range(1, MINHASH_PERMS + 1)
-        ]
-    )
+    sig = minhash_sig_wide(docs)
     n_bands = MINHASH_PERMS // LSH_BAND_SIZE
     band_structs = F.array(
         *[
@@ -244,6 +248,12 @@ def q_simhash(spark, sf_dir):
     toks = docs.select("doc_id", F.explode("w").alias("tok")).withColumn(
         "h", h60(F.col("tok"))
     )
+    # the x32 bit explode + (doc_id, bit) partial agg is the MEASURED
+    # winner over a 32-column groupBy(doc_id) aggregate (interleaved
+    # A/B at sf0.1: 0.71s vs 1.25s — 32 sum(when(...)) agg exprs in one
+    # generated update function lose codegen/JIT efficiency, while the
+    # exploded rows stay in tight whole-stage codegen and the bit-sum
+    # shuffle is already partial-aggregated to docs x 32 rows map-side)
     bits = toks.select(
         "doc_id",
         "h",
@@ -285,9 +295,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     docs = fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id", words_col(F.col("text")).alias("w")
     )
+    # within-doc shingle dedup is row-level (array_distinct before the
+    # explode) — exactly the distinct (doc_id, sh) set, with no
+    # Exchange, and recomputing it per consumer (sizes / df / probe)
+    # is a narrow map instead of a full shuffle each time
     sh = fan_out(docs).select(
-        "doc_id", F.explode(shingles_col(F.col("w"))).alias("sh")
-    ).distinct()
+        "doc_id", F.explode(F.array_distinct(shingles_col(F.col("w")))).alias("sh")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # frequency cap: shingles shared by >20 docs generate quadratic pair
     # blowup and carry no near-dup signal — standard LSH-era pruning
