@@ -29,6 +29,7 @@ from openslack_crawler_spark import (
     queries_relational,
     queries_sessions,
     queries_similarity,
+    queries_substring,
     queries_textdedup,
 )
 
@@ -46,6 +47,7 @@ _REGISTRIES = [
     queries_pretrain.REGISTRY,
     queries_quality.REGISTRY,
     queries_recall.REGISTRY,
+    queries_substring.REGISTRY,
 ]
 
 # The driver's correctness gate checks the FIRST 50 queries in iteration
@@ -92,11 +94,16 @@ _WINDOW = [
     "dedup_components", "corpus_clean_fuzzy",
     # composite over textdedup (module-stale)
     "corpus_clean_pipeline",
-    # NEW round-5 query — in-window its first round on the registry
+    # NEW round-5 queries — in-window their first round on the registry
+    # (ann_cosine_topk / ann_lsh_topk / mix_weights_temperature /
+    # corpus_shard_pack rotated out to make room: all r4-green with
+    # unchanged modules, and ann_recall_report hash-checks the ANN
+    # paths against the exact kernel anyway)
     "ann_recall_report",
-    # ANN + pretrain staples the recall report and bench grade against
-    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "mix_weights_temperature", "corpus_shard_pack",
+    "substring_dup_spans", "winnow_fingerprints", "winnow_shared_pairs",
+    "source_quality_prior",
+    # ANN staple the recall report and bench grade against
+    "ann_ivf_topk",
 ]
 
 
