@@ -15,14 +15,25 @@ from .queries_textdedup import (
     LSH_BAND_SIZE,
     MINHASH_PERMS,
     corpus_clean_docs,
-    minhash_band_pairs,
-    q_minhash_lsh_pairs,
+    fan_out,
+    minhash_band_star_edges,
+    words_col,
+    _t,
 )
 
 
 def q_dedup_components(spark, sf_dir):
-    pairs = q_minhash_lsh_pairs(spark, sf_dir)
-    return connected_components(pairs, src="doc_a", dst="doc_b").selectExpr(
+    """CC over STAR edges, not clique pairs: (bucket_min → member) per
+    LSH bucket preserves components exactly (see
+    minhash_band_star_edges) while an O(B²) clique bucket becomes O(B)
+    — the difference between 10^12 and 10^6 edge rows on a 10^6-copy
+    duplicate cluster at crawl scale. The recursive-CTE oracle still
+    closes over clique pairs; the components are identical."""
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", words_col(F.col("text")).alias("w")
+    )
+    edges = minhash_band_star_edges(docs)
+    return connected_components(edges, src="doc_a", dst="doc_b").selectExpr(
         "node AS doc_id", "component"
     )
 
@@ -62,12 +73,14 @@ SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node
 # --- the full pretraining-corpus pipeline with FUZZY dedup ---------------------
 def q_corpus_clean_fuzzy(spark, sf_dir, checkpoint_dir: str | None = None):
     """The actual 100 TB pretraining pipeline end-to-end: Gopher quality
-    gate → language gate → exact fingerprint dedup → MinHash-band
-    candidate pairs → connected components → keep the min doc_id per
-    near-dup cluster → per-source corpus stats. Stage costs: narrow
-    filters, one hash shuffle for the exact dedup, one banded equi-join
-    (never all-pairs) for candidates, O(diameter) label-propagation
-    rounds, one broadcast-able anti-join to drop cluster losers."""
+    gate → language gate → exact fingerprint dedup → MinHash-band STAR
+    edges (bucket_min → member; O(B) per bucket, components identical
+    to clique pairs — see minhash_band_star_edges) → connected
+    components → keep the min doc_id per near-dup cluster → per-source
+    corpus stats. Stage costs: narrow filters, one hash shuffle for the
+    exact dedup, one window Exchange (never all-pairs, no self-join)
+    for the edges, O(log diameter) label-propagation rounds, one
+    broadcast-able anti-join to drop cluster losers."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", "text"
@@ -75,9 +88,9 @@ def q_corpus_clean_fuzzy(spark, sf_dir, checkpoint_dir: str | None = None):
     # two consumers (pair generation + survivor stats) — materialize so
     # the gate/dedup pipeline runs once
     cleaned = corpus_clean_docs(docs).localCheckpoint()
-    pairs = minhash_band_pairs(cleaned.select("doc_id", "w"))
+    edges = minhash_band_star_edges(cleaned.select("doc_id", "w"))
     comp = connected_components(
-        pairs, src="doc_a", dst="doc_b", checkpoint_dir=checkpoint_dir
+        edges, src="doc_a", dst="doc_b", checkpoint_dir=checkpoint_dir
     )
     losers = comp.filter(F.col("component") < F.col("node")).select(
         F.col("node").alias("doc_id")

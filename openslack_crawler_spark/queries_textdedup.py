@@ -14,6 +14,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 MINHASH_PERMS = 8
@@ -209,6 +210,36 @@ def minhash_band_pairs(docs):
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def minhash_band_star_edges(docs):
+    """STAR edges over the LSH buckets: (bucket_min → member) for every
+    ≥2-doc (band, band_sig) bucket — the connectivity-preserving
+    replacement for clique pairs when the consumer is a connected-
+    components pass (dedup clustering), NOT the pair list itself.
+
+    Why this is the 100 TB shape: a duplicate cluster of B copies lands
+    in one bucket, and clique pairs are O(B²) — a 10^6-copy boilerplate
+    page (routine in web crawls) emits 10^12 edge rows from a single
+    bucket. The star is O(B) with IDENTICAL components: every member
+    connects to the bucket min, so any two members are 2 hops apart,
+    and the node set (docs sharing a bucket with someone) is exactly
+    the clique-pair node set — singleton buckets vanish via the
+    doc != root filter. CC output over star edges is therefore
+    bitwise-identical to CC over clique pairs (asserted in
+    tests/test_fan_out.py), and the clique-pair DuckDB oracles remain
+    valid for the CC-consuming queries unchanged.
+
+    Plan: ONE Exchange (window over the bucket key) — no self-join, no
+    eager checkpoint, no pair distinct; duplicate star edges across
+    bands are absorbed by CC's own sym.distinct()."""
+    w = Window.partitionBy("band", "band_sig")
+    return (
+        minhash_band_table(docs)
+        .withColumn("root", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
 
 

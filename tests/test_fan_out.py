@@ -59,3 +59,49 @@ def test_simhash_plan_has_no_roundrobin_exchange(spark):
 
     plan = _executed_plan(q_simhash(spark, "/root/testdata/sf0.001"))
     assert "RoundRobinPartitioning" not in plan, plan[:800]
+
+
+def test_star_edges_cc_equals_clique_pairs_cc(spark):
+    """Round-5 star-edge switch: CC over minhash_band_star_edges must be
+    bitwise-identical to CC over the clique-pair join — same node set
+    (singleton buckets excluded) and same components — because that
+    identity is what keeps the clique-pair recursive-CTE oracles valid
+    for dedup_components / corpus_clean_fuzzy."""
+    from openslack_crawler_spark.operators.components import connected_components
+    from openslack_crawler_spark.queries_textdedup import (
+        minhash_band_pairs,
+        minhash_band_star_edges,
+        words_col,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    # a 6-copy duplicate cluster (one bucket, clique would emit 15 pairs,
+    # star emits 5 edges), a 2-doc near-dup pair, and 3 unique docs
+    # (singleton buckets — must appear in NEITHER result)
+    for i in range(6):
+        rows.append((i, base))
+    rows.append((10, base + " extra trailing words here"))
+    rows.append((11, base + " extra trailing words here"))
+    rows.append((20, "completely different text about spark shuffle partitions and join strategies"))
+    rows.append((21, "another unrelated document mentioning parquet column pruning and codegen"))
+    rows.append((22, "a third singleton with its own vocabulary entirely distinct tokens"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id", words_col(F.col("text")).alias("w")
+    )
+
+    star = minhash_band_star_edges(docs)
+    # star edges are linear in bucket size: the 6-clique contributes 5
+    clique_pairs = minhash_band_pairs(docs)
+    assert star.count() <= clique_pairs.count()
+
+    cc_star = sorted(
+        connected_components(star, src="doc_a", dst="doc_b").collect()
+    )
+    cc_clique = sorted(
+        connected_components(clique_pairs, src="doc_a", dst="doc_b").collect()
+    )
+    assert cc_star == cc_clique
+    nodes = {r["node"] for r in cc_star}
+    assert {20, 21, 22}.isdisjoint(nodes)
+    assert set(range(6)) <= nodes
