@@ -22,6 +22,36 @@ def test_first_wins_dedup(spark):
     assert got == {(1, 5), (2, 7)}  # earliest enqueue_seq wins, like SADD order
 
 
+def test_first_wins_minby_matches_window_shape(spark):
+    """Round-5: first_wins_dedup switched from row_number-over-window to
+    min_by-over-groupBy (map-side combine, no sort). This pins the exact
+    kept-row set against the window formulation on a messy fixture —
+    multi-column rows, many dups, unique seq."""
+    from pyspark.sql import Window
+
+    rows = [
+        (h, 1000 - i, f"u{h}-{i}", i % 3 == 0)
+        for i, h in enumerate([1, 1, 1, 2, 2, 3, 4, 4, 4, 4, 5])
+    ]
+    c = spark.createDataFrame(
+        rows, "url_hash long, enqueue_seq long, url string, extra boolean"
+    ).withColumn("dont_filter", F.lit(False))
+    w = Window.partitionBy("url_hash").orderBy(F.col("enqueue_seq").asc())
+    want = sorted(
+        map(
+            tuple,
+            c.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, first_wins_dedup(c).collect()))
+    assert got == want
+    # column order preserved
+    assert first_wins_dedup(c).columns == c.columns
+
+
 def test_dont_filter_bypass(spark):
     # scheduler.py:73 / offline.py: dont_filter requests skip dedup
     c = _cands(spark, [(1, 1, False), (1, 2, True), (1, 3, True)])
