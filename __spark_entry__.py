@@ -66,7 +66,9 @@ _WINDOW = [
     # crawl core (kept in: always-on §2 flagship surface; seen_antijoin
     # + bloom_prefilter_dedup + crawl_e2e* also re-enter because
     # operators/seen_filter.py changed this round)
-    "seen_antijoin", "blacklist_antijoin", "dequeue_topk_per_host",
+    # (blacklist_antijoin rotated out this round: r4-green, its
+    # operators/frontier.py module unchanged in r5)
+    "seen_antijoin", "dequeue_topk_per_host",
     "global_pop", "merge_upsert", "depth_decay", "politeness_slots",
     "url_canonicalize", "multimodal_features", "content_type_filter",
     "retry_union", "crawl_e2e", "crawl_e2e_summary",
@@ -102,7 +104,9 @@ _WINDOW = [
     "ann_recall_report",
     "substring_dup_spans", "winnow_fingerprints", "winnow_shared_pairs",
     "source_quality_prior",
-    # ANN staple the recall report and bench grade against
+    # NEW round-5: OPIC/PageRank-style link rank, in-window first round
+    "link_rank",
+    # ANN flagship the recall report and bench grade against
     "ann_ivf_topk",
 ]
 

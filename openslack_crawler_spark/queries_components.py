@@ -165,7 +165,97 @@ GROUP BY source
 """
 
 
+# --- link-graph rank propagation (OPIC/PageRank-style crawl priority) -------
+RANK_ITERS = 3
+RANK_HOSTS = 50
+DAMP_NUM, DAMP_DEN = 85, 100   # 0.85 damping in exact integer arithmetic
+BASE_MICRO = 150_000           # (1 - d) in micro-units
+INIT_MICRO = 1_000_000
+
+
+def q_link_rank(spark, sf_dir):
+    """Link-based frontier priority — the OPIC / PageRank family every
+    large crawler uses to decide WHICH host to fetch next (the
+    reference ranks by static request priority, queue.py:75-90; link
+    rank is the web-scale generalization). Iterative WEIGHTED
+    sum-propagation — a different operator class from CC's
+    min-propagation: rank'(h) = (1-d) + d * Σ rank(g)/outdeg(g) over
+    in-links, RANK_ITERS fixed rounds.
+
+    Determinism contract: all arithmetic in integer micro-units with
+    exact DIV (per-edge contrib = rank DIV outdeg, then
+    (d_num * Σ) DIV d_den) — bit-identical in Spark and DuckDB, no
+    doubles anywhere.
+
+    Scale shape: the edge list is the big side — partition it ONCE on
+    src and keep it resident; each round shuffles only the #hosts-row
+    rank table against it (the CC probe-side-only discipline), plus one
+    groupBy(dst) partial agg. Fixed iteration count → lineage depth 3,
+    no checkpoint needed. The synthetic click graph (user→page events)
+    stands in for the host graph at sf scale."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    edges = ev.select(
+        F.pmod(F.col("user_id"), F.lit(RANK_HOSTS)).alias("src"),
+        F.pmod(F.col("event_id"), F.lit(RANK_HOSTS)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    edges = edges.repartition(F.col("src")).localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    ranks = nodes.select("host", F.lit(INIT_MICRO).cast("long").alias("rank_micro"))
+    for _ in range(RANK_ITERS):
+        contrib = (
+            ranks.join(outdeg, ranks.host == outdeg.src)
+            .select(
+                F.col("src"),
+                F.expr("rank_micro DIV outdeg").alias("contrib"),
+            )
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("contrib").alias("in_micro"))
+        )
+        ranks = nodes.join(contrib, "host", "left").select(
+            "host",
+            (
+                F.lit(BASE_MICRO)
+                + F.expr(f"{DAMP_NUM} * coalesce(in_micro, 0) DIV {DAMP_DEN}")
+            ).cast("long").alias("rank_micro"),
+        )
+    return ranks
+
+
+def _sql_rank_iter(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT n.host,
+         cast({BASE_MICRO} + ({DAMP_NUM} * coalesce(c.in_micro, 0)) // {DAMP_DEN} AS bigint) AS rank_micro
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS host, sum(r.rank_micro // o.outdeg) AS in_micro
+    FROM {prev} r JOIN outdeg o ON r.host = o.src JOIN edges e ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON n.host = c.host
+)"""
+
+
+SQL_LINK_RANK = f"""
+WITH edges AS (
+  SELECT user_id % {RANK_HOSTS} AS src, event_id % {RANK_HOSTS} AS dst
+  FROM events WHERE event_type = 'click' AND user_id % {RANK_HOSTS} <> event_id % {RANK_HOSTS}
+), outdeg AS (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), nodes AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+), r0 AS (
+  SELECT host, cast({INIT_MICRO} AS bigint) AS rank_micro FROM nodes
+), {_sql_rank_iter('r0', 'r1')}, {_sql_rank_iter('r1', 'r2')}, {_sql_rank_iter('r2', 'r3')}
+SELECT host, rank_micro FROM r3
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "corpus_clean_fuzzy": (q_corpus_clean_fuzzy, SQL_CORPUS_CLEAN_FUZZY),
+    "link_rank": (q_link_rank, SQL_LINK_RANK),
 }

@@ -111,3 +111,47 @@ def test_mark_enqueue_filters_null_flag_coalesced(spark):
     assert ok == {"ok"}
     assert dropped == {"null_depth", "null_maxdepth"}
     assert ok | dropped == {r.url for r in df.collect()}  # nothing escapes
+
+
+def test_link_rank_hand_checked(spark):
+    """link_rank semantics on a hand-computable 3-node graph, written
+    through a temp parquet 'events' table: A->B, A->C, B->C (one click
+    each). With integer micro-units and 0.85 damping:
+      iter1: rank(B) = 150000 + 85*(1000000 DIV 2) DIV 100 = 575000
+             rank(C) = 150000 + 85*(1000000 DIV 2 + 1000000) DIV 100
+                     = 1425000,  rank(A) = 150000."""
+    import tempfile
+
+    from openslack_crawler_spark.queries_components import (
+        RANK_HOSTS,
+        q_link_rank,
+    )
+
+    # craft events whose (user_id % H, event_id % H) edges are exactly
+    # A->B, A->C, B->C with A,B,C = 1,2,3
+    rows = [
+        (2, 1, "click"),              # src 1 -> dst 2
+        (3, 1, "click"),              # src 1 -> dst 3
+        (3, 2, "click"),              # src 2 -> dst 3
+        (RANK_HOSTS + 1, 1, "view"),  # non-click: ignored
+    ]
+    ev = spark.createDataFrame(
+        [(eid, None, uid, et, None, None) for eid, uid, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {r["host"]: r["rank_micro"] for r in q_link_rank(spark, d).collect()}
+    # closed-form 3 iterations
+    r = {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+    for _ in range(3):
+        c2 = r[1] // 2
+        c3 = r[1] // 2 + r[2] // 1
+        r = {
+            1: 150_000,
+            2: 150_000 + 85 * c2 // 100,
+            3: 150_000 + 85 * c3 // 100,
+        }
+    assert got == r
+    assert all(v > 0 for v in got.values())
