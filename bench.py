@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "chunk_dedup",
     "repetition_ratio",
     "ann_recall_report",
+    "link_rank",
+    "substring_dup_spans",
+    "winnow_shared_pairs",
 ]
 
 
