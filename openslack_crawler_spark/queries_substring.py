@@ -16,9 +16,13 @@ dedup (whole-doc, queries_textdedup.py) in a pretraining pipeline:
   (Schleimer/Wilkerson/Aiken, SIGMOD 2003): k-gram hash sequence, a
   sliding window of W hashes, keep each window's minimum — guarantees
   any shared run of >= W+K-1 words shares a fingerprint, at ~2/(W+1)
-  the density of full shingling. The whole selection is row-local
-  higher-order functions (ZERO Exchange until the final agg); pairs
-  reuse the capped posting-list join shape of ngram_jaccard_pairs.
+  the density of full shingling. The selection runs as a codegen
+  explode + sliding window-min over (doc, pos) — a row-local
+  higher-order-function version exists (_fps_col) but interpreted
+  lambdas evaluate an md5 per element with no CSE and measured 6-20x
+  slower (PLANS.md round-5 "lambda collapse"); pairs reuse the capped
+  posting-list join shape of ngram_jaccard_pairs over the
+  once-materialized fingerprint index.
 - `source_quality_prior`: FineWeb/RefinedWeb-style source-level prior:
   per-doc quality proxies (length, duplicate-word fraction, language)
   aggregated per source, combined into an integer prior score and a
@@ -30,11 +34,10 @@ Scale shapes (the 100 TB contract):
 - dup-span detection is NEVER all-pairs: one (window-hash) groupBy with
   partial aggregation + one hash join back, then per-doc windows over
   tiny per-doc position lists. Same family as exact/chunk dedup.
-- winnowing is a pure narrow map per document (arrays of K-gram hashes
-  and window minima built with transform/slice inside the row), so it
-  rides the parquet scan's splits; only the fingerprint posting-list
-  join shuffles, and the df<=20 cap bounds it exactly like
-  ngram_jaccard_pairs.
+- winnowing shuffles only 8-byte gram hashes (window on doc_id,
+  distinct on (doc_id, fp)) — the k-gram TEXT never leaves its scan
+  task; the posting-list join is bounded by the df<=20 cap exactly
+  like ngram_jaccard_pairs.
 - the source prior aggregates 100 TB of docs into ~#sources rows; the
   keep-set join back to docs (when used as a filter) is a broadcast.
 
@@ -81,6 +84,21 @@ def _sql_kgram_hashes(k: int) -> str:
     )
 
 
+def _tokenized_barrier(spark, sf_dir):
+    """(doc_id, w) with a non-deterministic marker column that BLOCKS
+    CollapseProject from inlining the tokenizer into downstream
+    higher-order-function lambdas. Without it, `transform(w, ...)`
+    re-evaluates the full regexp tokenize PER LAMBDA ELEMENT
+    (interpreted, no subexpression elimination): winnow_fingerprints
+    measured 2.14s -> 0.32s at sf0.1 from this one line. Zero Exchange,
+    zero data copy — purely an optimizer fence."""
+    return fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        words_col(F.col("text")).alias("w"),
+        F.monotonically_increasing_id().alias("_nocollapse"),
+    )
+
+
 # --- duplicated-substring spans (Lee et al. operator, distributed) -----------
 def q_substring_dup_spans(spark, sf_dir):
     """Maximal spans of each document whose every SPAN_K-word window
@@ -91,11 +109,30 @@ def q_substring_dup_spans(spark, sf_dir):
     docs = fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id", words_col(F.col("text")).alias("w")
     )
-    wins = (
-        docs.select("doc_id", _kgram_hashes(F.col("w"), SPAN_K).alias("hs"))
-        .select("doc_id", F.posexplode("hs").alias("pos0", "h"))
-        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "h")
-    )
+    # explode POSITIONS through the Generate, build the window string +
+    # hash top-level: the Generate evaluates the tokenizer once per doc
+    # and the per-window work runs in whole-stage codegen. (Building
+    # windows inside a transform() lambda was 23x slower: higher-order
+    # lambdas are interpreted, and CollapseProject inlines the
+    # tokenizer into the lambda so EVERY element re-tokenized the doc —
+    # see PLANS.md round-5 "lambda collapse" note.)
+    pos_arr = F.when(
+        F.size("w") >= SPAN_K,
+        F.sequence(F.lit(1), F.size("w") - (SPAN_K - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    # materialize the window table once — TWO consumers (the occ>=2
+    # hash census and the position marking join) would otherwise each
+    # re-run the explode+hash pass; Lee et al. persist exactly this
+    # table (their suffix-array dup ranges) as an artifact, so the
+    # checkpoint is the sf-scale stand-in for that materialization.
+    # Measured at sf0.1: 2.46s -> 1.54s warm, 7.5s -> 2.7s cold.
+    wins = docs.select(
+        "doc_id", "w", F.explode(pos_arr).alias("pos")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        h60(F.concat_ws(" ", F.slice("w", F.col("pos"), SPAN_K))).alias("h"),
+    ).localCheckpoint()
     dup = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -163,8 +200,12 @@ GROUP BY doc_id, island
 
 # --- MOSS winnowing fingerprints ---------------------------------------------
 def _fps_col():
-    """Distinct window-min fingerprints of the WINNOW_K-gram hash
-    sequence — all row-local (transform + slice + array_min)."""
+    """Distinct window-min fingerprints as a row-local ARRAY expression
+    (transform + slice + array_min). Kept as the semantic REFERENCE and
+    for tests; the registered queries use _winnow_fps_df instead — this
+    expression evaluates inside interpreted higher-order lambdas at
+    ~1.3ms/doc (md5 per element, no codegen, no CSE), measured 6-20x
+    slower than the exploded window-min plan below."""
     hs = _kgram_hashes(F.col("w"), WINNOW_K)
     wins = F.when(
         F.size(hs) >= WINNOW_W,
@@ -176,6 +217,42 @@ def _fps_col():
     return hs, F.array_distinct(wins)
 
 
+def _winnow_fps_df(spark, sf_dir):
+    """(doc_id, fp) distinct winnowing fingerprints — the codegen plan:
+    explode k-gram POSITIONS through the Generate (tokenizer runs once
+    per doc), hash each gram top-level (whole-stage codegen, same shape
+    as substring_dup_spans), then the window-of-W minimum as a sliding
+    window function over (doc, pos) and a distinct. Bit-identical to
+    exploding _fps_col()'s array (checksum-asserted in
+    tests/test_substring_ops.py) at 1/6th the cost — the lambda version
+    interprets an md5 per element with zero subexpression reuse.
+
+    Scale shape: one Exchange on doc_id (window) + one on (doc_id, fp)
+    (distinct) of 8-byte-hash rows — the standard fingerprint-index
+    build; the k-gram text itself never shuffles."""
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
+        "doc_id", words_col(F.col("text")).alias("w")
+    )
+    pos_arr = F.when(
+        F.size("w") >= WINNOW_K,
+        F.sequence(F.lit(1), F.size("w") - (WINNOW_K - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id", F.size("w").alias("nw"), "w", F.explode(pos_arr).alias("pos")
+    ).select(
+        "doc_id", "nw", "pos",
+        h60(F.concat_ws(" ", F.slice("w", F.col("pos"), WINNOW_K))).alias("h"),
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(wmin))
+        # only FULL W-wide windows select a fingerprint (MOSS contract)
+        .filter(F.col("pos") <= F.col("nw") - WINNOW_K + 1 - (WINNOW_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Per-document winnowing summary: k-gram count, selected
     fingerprint count (the ~2/(W+1) density guarantee shows up as
@@ -183,13 +260,26 @@ def q_winnow_fingerprints(spark, sf_dir):
     docs = fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id", words_col(F.col("text")).alias("w")
     )
-    hs, fps = _fps_col()
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        F.size(hs).cast("long").alias("n_kgrams"),
-        F.size(fps).cast("long").alias("n_fp"),
-        F.array_min(fps).alias("min_fp"),
-        F.array_max(fps).alias("max_fp"),
+        F.when(F.size("w") >= WINNOW_K, F.size("w") - (WINNOW_K - 1))
+        .otherwise(F.lit(0)).cast("long").alias("n_kgrams"),
+    )
+    per_doc = (
+        _winnow_fps_df(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_kgrams",
+        F.coalesce(F.col("n_fp"), F.lit(0)).cast("long").alias("n_fp"),
+        "min_fp",
+        "max_fp",
     )
 
 
@@ -227,11 +317,11 @@ def q_winnow_shared_pairs(spark, sf_dir):
     the MOSS match step as a capped posting-list equi-join (same bound
     as ngram_jaccard_pairs: fingerprints held by > FP_DF_CAP docs carry
     no pair signal and would blow up quadratically)."""
-    docs = fan_out(_t(spark, sf_dir, "documents")).select(
-        "doc_id", words_col(F.col("text")).alias("w")
-    )
-    _hs, fps = _fps_col()
-    post = docs.select("doc_id", F.explode(fps).alias("fp"))
+    # materialize the fingerprint index ONCE (MOSS stores exactly this
+    # index); the plan below consumes it three ways (df counts, probe,
+    # both join sides) and would otherwise recompute the selection per
+    # branch — measured 17-21s vs 6.6s at sf0.1
+    post = _winnow_fps_df(spark, sf_dir).localCheckpoint()
     rare = post.join(
         post.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -137,12 +137,13 @@ def test_winnow_shared_pairs_detects_plagiarism(spark, tmp_path):
     assert not any(3 in p for p in pairs)
 
 
-def test_winnow_fingerprints_plan_is_exchange_free(spark, tmp_path):
-    """Winnowing selection is row-local by design — the summary query
-    must ride the scan splits with ZERO shuffled bytes (the fan_out
-    guard only repartitions when the scan is narrower than the
-    parallelism target, which a 4-core test session never triggers at
-    default parallelism... so assert on the no-op path explicitly)."""
+def test_winnow_fingerprints_plan_shape(spark, tmp_path):
+    """Round-5 redesign: the selection runs as codegen explode + sliding
+    window-min (the row-local lambda version interprets an md5 per
+    element — 6-20x slower, see PLANS.md). Contract now: NO Python
+    evals anywhere, and every Exchange carries only ids/hashes — the
+    words array (the text payload) must never appear in a shuffle
+    output, so the gram text stays inside its scan task."""
     sf = _write_docs(
         spark, tmp_path, [(i, _wordstream("w", 50), "en", "s1") for i in range(8)]
     )
@@ -152,10 +153,11 @@ def test_winnow_fingerprints_plan_is_exchange_free(spark, tmp_path):
         .executedPlan()
         .toString()
     )
-    # a repartition from the fan_out guard is the only permissible
-    # Exchange; everything downstream of it must be narrow
-    assert "Exchange hashpartitioning" not in plan, plan[:800]
-    assert "SortAggregate" not in plan and "HashAggregate" not in plan, plan[:800]
+    assert "EvalPython" not in plan, plan[:800]
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "w#" not in m.group(1), m.group(0)
 
 
 def test_source_quality_prior_arithmetic(spark, tmp_path):
@@ -181,3 +183,33 @@ def test_source_quality_prior_arithmetic(spark, tmp_path):
     # bad: dup = floor(79e6/80) = 987500; prior = 0 - 2*987500 + 100000
     assert bad["dup_micro_mean"] == 987500
     assert bad["prior_micro"] == -1875000 and bad["keep_src"] == 0
+
+
+def test_winnow_codegen_plan_matches_lambda_reference(spark):
+    """The registered winnowing plan (explode + sliding window-min,
+    _winnow_fps_df) must select bit-identical fingerprints to the
+    row-local lambda reference (_fps_col) — same (doc, fp) multiset."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from openslack_crawler_spark.queries_substring import (
+        _fps_col,
+        _winnow_fps_df,
+        _tokenized_barrier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fast = _winnow_fps_df(spark, sf)
+    docs = _tokenized_barrier(spark, sf)
+    _hs, fps = _fps_col()
+    ref = docs.select("doc_id", F.explode(fps).alias("fp"))
+
+    def sig(df):
+        return df.agg(
+            F.sum(F.col("fp").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("doc_id", "fp").cast("decimal(38,0)")).alias("x"),
+        ).collect()[0]
+
+    assert tuple(sig(fast)) == tuple(sig(ref))
