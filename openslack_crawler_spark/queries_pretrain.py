@@ -227,7 +227,16 @@ def q_decontaminate_overlap(spark, sf_dir):
     set map-side, partial-agg the hit counts by doc_id."""
     docs = _t(spark, sf_dir, "documents")
     is_bench = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(BENCH_MOD)) == 0
-    w = words_col(F.col("text"))
+    # tokenize behind a CollapseProject fence — inlined into the n-gram
+    # lambda below, the regexp tokenize re-ran PER WINDOW: O(words^2)
+    # per doc (PLANS.md round-5 "lambda collapse")
+    tok = docs.select(
+        "doc_id",
+        is_bench.alias("is_bench"),
+        words_col(F.col("text")).alias("w"),
+        F.monotonically_increasing_id().alias("_nocollapse"),
+    )
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= DECON_NGRAM,
         F.array_distinct(
@@ -237,26 +246,40 @@ def q_decontaminate_overlap(spark, sf_dir):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select("doc_id", is_bench.alias("is_bench"), grams.alias("grams"))
+    # materialize the gram arrays BEFORE any explode: Generate re-runs
+    # an interpreted-HOF generator expression per OUTPUT element, which
+    # made the corpus explode O(grams^2) per doc — 19.8s vs 0.24s at
+    # sf0.1 (PLANS.md round-5 "lambda collapse", rule 3). At 100 TB this
+    # checkpoint is the standard materialized gram-index the probe
+    # pipeline reads.
+    base = tok.select(
+        "doc_id", "is_bench", grams.alias("grams")
+    ).localCheckpoint()
     bench_grams = (
         base.filter("is_bench")
         .select(F.explode("grams").alias("g"))
         .select(h60(F.col("g")).alias("gh"))
         .distinct()
     )
-    corpus = base.filter(~F.col("is_bench")).select(
-        "doc_id", F.size("grams").alias("n_grams"), "grams"
-    )
-    hits = (
-        corpus.select("doc_id", F.explode("grams").alias("g"))
-        .select("doc_id", h60(F.col("g")).alias("gh"))
+    # ONE corpus pass: n_grams rides every exploded row (constant per
+    # doc) so the hit-count groupBy recovers it with first() — no second
+    # corpus scan, no per-doc join-back. (The previous shape consumed
+    # `base` three ways and re-evaluated the gram build per consumer:
+    # 25s -> ~3s at sf0.1.)
+    return (
+        base.filter(~F.col("is_bench"))
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.explode("grams").alias("g"),
+        )
+        .select("doc_id", "n_grams", h60(F.col("g")).alias("gh"))
         .join(F.broadcast(bench_grams), "gh")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return (
-        corpus.drop("grams")
-        .join(hits, "doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count("*").alias("n_hits"),
+        )
         .select(
             "doc_id",
             "n_grams",

@@ -65,15 +65,34 @@ def q_chunk_dedup(spark, sf_dir):
     C4-style cleaning — the kept copy is the min doc_id, every other
     occurrence is removable without touching doc-level dedup."""
     docs = fan_out(_t(spark, sf_dir, "documents"))
-    # within-doc chunk dedup is row-level (array_distinct before the
-    # explode), so each (doc, chunk) emerges exactly once and the
-    # cross-doc occurrence count IS the distinct-doc count — count(*)
-    # partial-aggregates map-side where countDistinct(doc_id) would
-    # need a two-phase expand over every (chunk, doc) pair
-    chunks = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(chunks_col(words_col(F.col("text"))))).alias("c"),
-    ).select("doc_id", h60(F.col("c")).alias("chunk_hash"))
+    # explode chunk POSITIONS through the Generate and build the chunk
+    # string + hash top-level in codegen: exploding an interpreted-HOF
+    # array re-evaluates the generator per OUTPUT element (O(chunks^2)
+    # per doc — PLANS.md round-5 "lambda collapse"), and this shape also
+    # keeps the chunk TEXT inside its scan task: only (doc_id,
+    # chunk_hash) rows ever shuffle. The distinct replaces the old
+    # row-level array_distinct (within-doc chunk dedup), after which
+    # count(*) per chunk IS the distinct-doc count.
+    n_blocks = F.floor(F.size("w") / CHUNK_WORDS).cast("int")
+    pos_arr = F.when(
+        F.size("w") >= CHUNK_WORDS, F.sequence(F.lit(1), n_blocks)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = (
+        docs.select("doc_id", words_col(F.col("text")).alias("w"))
+        .select("doc_id", "w", F.explode(pos_arr).alias("i"))
+        .select(
+            "doc_id",
+            h60(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "w", (F.col("i") - 1) * CHUNK_WORDS + 1, CHUNK_WORDS
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+        .distinct()
+    )
     return (
         chunks.groupBy("chunk_hash")
         .agg(
@@ -112,8 +131,12 @@ def q_repetition_ratio(spark, sf_dir):
     Docs with no words/bigrams report 0 (kept, not dropped — the
     downstream gate decides)."""
     docs = fan_out(_t(spark, sf_dir, "documents"))
+    # _nocollapse fences the tokenizer out of the bigram lambda below —
+    # inlined, the lambda re-tokenized the doc PER BIGRAM: O(words^2)
+    # regexp work per document (PLANS.md round-5 "lambda collapse")
     per_doc = docs.select(
-        "doc_id", words_col(F.col("text")).alias("w")
+        "doc_id", words_col(F.col("text")).alias("w"),
+        F.monotonically_increasing_id().alias("_nocollapse"),
     ).select(
         "doc_id",
         F.size("w").alias("n_words"),
@@ -134,19 +157,20 @@ def q_repetition_ratio(spark, sf_dir):
         .alias("dup_word_micro"),
         F.col("w"),
     )
+    # explode bigram POSITIONS, build the bigram top-level: exploding a
+    # transform()-built array re-evaluates the generator per OUTPUT
+    # element — O(words^2) per doc (PLANS.md round-5 "lambda collapse")
     bigrams = per_doc.filter(F.size("w") >= 2).select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - 1),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("w"), i),
-                    F.element_at(F.col("w"), i + 1),
-                ),
-            )
-        ).alias("bg"),
+        "w",
         (F.size("w") - 1).alias("n_bi"),
+        F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.element_at("w", F.col("i")), F.element_at("w", F.col("i") + 1)
+        ).alias("bg"),
+        "n_bi",
     )
     top_bg = (
         bigrams.groupBy("doc_id", "bg", "n_bi")
