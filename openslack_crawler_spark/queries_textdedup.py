@@ -108,15 +108,23 @@ FROM words GROUP BY 1 HAVING count(*) > 1
 # --- MinHash signatures ------------------------------------------------------
 def minhash_sig_wide(docs):
     """(doc_id, m1..m{MINHASH_PERMS}) wide MinHash signatures over
-    (doc_id, w) in ONE map-side stage: within-doc shingle dedup is a
-    row-level array_distinct (min per doc only needs the doc's shingle
-    SET — a .distinct() here would Exchange every shingle string), and
-    all perms are min() COLUMNS of one groupBy(doc_id), so the explode,
-    the 8 per-shingle hashes, and the partial mins run inside the scan
-    stage; the only shuffle is the (doc_id, 8 longs) partial-agg rows."""
+    (doc_id, w) in ONE map-side stage: all perms are min() COLUMNS of
+    one groupBy(doc_id), so the position explode, the 8 per-shingle
+    hashes, and the partial mins run inside the scan stage; the only
+    shuffle is the (doc_id, 8 longs) partial-agg rows."""
+    # explode shingle POSITIONS and build the shingle string top-level
+    # (w rides the Generate output): 4.4x faster single-shot than
+    # exploding the transform()-built array — the HOF fallback path
+    # compiles and evaluates far worse (PLANS.md round-5 "lambda
+    # collapse"). The old array_distinct pre-dedup is dropped: min() is
+    # idempotent over duplicate shingles, so signatures are identical
+    # (checksum-verified) and dup shingles just pay their own hash.
+    pos_arr = F.when(
+        F.size("w") >= 3, F.sequence(F.lit(1), F.size("w") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     sh = fan_out(docs).select(
-        "doc_id", F.explode(F.array_distinct(shingles_col(F.col("w")))).alias("sh")
-    )
+        "doc_id", "w", F.explode(pos_arr).alias("i")
+    ).select("doc_id", F.concat_ws(" ", F.slice("w", F.col("i"), 3)).alias("sh"))
     return sh.groupBy("doc_id").agg(
         *[
             F.min(
