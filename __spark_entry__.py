@@ -68,9 +68,13 @@ _WINDOW = [
     # operators/seen_filter.py changed this round)
     # (blacklist_antijoin rotated out this round: r4-green, its
     # operators/frontier.py module unchanged in r5)
+    # (global_pop / merge_upsert / content_type_filter also rotated
+    # out late round-5: r4-green, modules unchanged — their slots admit
+    # the three queries_pretrain.py queries the decontaminate edit made
+    # module-stale)
     "seen_antijoin", "dequeue_topk_per_host",
-    "global_pop", "merge_upsert", "depth_decay", "politeness_slots",
-    "url_canonicalize", "multimodal_features", "content_type_filter",
+    "depth_decay", "politeness_slots",
+    "url_canonicalize", "multimodal_features",
     "retry_union", "crawl_e2e", "crawl_e2e_summary",
     "bloom_prefilter_dedup",
     # module-stale: queries_textdedup.py (fan_out removal, r5)
@@ -87,8 +91,10 @@ _WINDOW = [
     "cache_rewrite", "duration_normalize", "headers_multimap",
     "ua_rotation", "media_keys",
     # module-stale: queries_pretrain.py (r4 HUGEINT casts landed after
-    # these three's r3 greens)
+    # these three's r3 greens; the late-r5 decontaminate single-pass
+    # edit re-staled the whole module, re-admitting the mix/shard trio)
     "corpus_sample_stratified", "decontaminate_overlap", "pii_scan",
+    "mix_weights_temperature", "corpus_shard_pack", "mix_epochs",
     # module-stale: queries_similarity.py (r4 kernel work postdates
     # their r3 greens)
     "ann_lsh_multiband_topk", "embedding_neardup_pairs", "lsh_buckets",
