@@ -27,6 +27,7 @@ from openslack_crawler_spark import (
     queries_quality,
     queries_recall,
     queries_relational,
+    queries_robots,
     queries_sessions,
     queries_similarity,
     queries_substring,
@@ -47,6 +48,7 @@ _REGISTRIES = [
     queries_pretrain.REGISTRY,
     queries_quality.REGISTRY,
     queries_recall.REGISTRY,
+    queries_robots.REGISTRY,
     queries_substring.REGISTRY,
 ]
 
@@ -74,7 +76,7 @@ _WINDOW = [
     # module-stale)
     "seen_antijoin", "dequeue_topk_per_host",
     "depth_decay", "politeness_slots",
-    "url_canonicalize", "multimodal_features",
+    "url_canonicalize",
     "retry_union", "crawl_e2e", "crawl_e2e_summary",
     "bloom_prefilter_dedup",
     # module-stale: queries_textdedup.py (fan_out removal, r5)
@@ -110,8 +112,10 @@ _WINDOW = [
     "ann_recall_report",
     "substring_dup_spans", "winnow_fingerprints", "winnow_shared_pairs",
     "source_quality_prior",
-    # NEW round-5: OPIC/PageRank-style link rank, in-window first round
-    "link_rank",
+    # NEW round-5: OPIC/PageRank-style link rank + the robots gate
+    # (in-window their first round; multimodal_features rotated out —
+    # r4-green, queries_pipeline.py unchanged)
+    "link_rank", "robots_gate",
     # ANN flagship the recall report and bench grade against
     "ann_ivf_topk",
 ]
