@@ -89,3 +89,47 @@ def test_oracle_invariants(seed_pairs):
 def test_html_extractor_never_crashes(html, base):
     out = extract_links_py(html, "http://" + base.replace(" ", ""))
     assert isinstance(out, list)
+
+
+# --- round-5: the vectorized batch canonicalizer vs the scalar reference ----
+_SCHEME = st.sampled_from(["http", "HTTP", "https", "ftp", "foo", "HtTp"])
+_HOST = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJ0123456789.-", min_size=1, max_size=16
+)
+_PATH = st.sampled_from(["", "/", "/a/b", "/A/../b//", "/%2F/x", "/p_.~-"])
+_PORT = st.sampled_from(["", ":80", ":443", ":21", ":8080", ":", ":0080"])
+_KV = st.text(alphabet="azAZ09_.~-", min_size=1, max_size=6)
+_PAIR = st.tuples(_KV, st.one_of(st.none(), _KV)).map(
+    lambda t: t[0] if t[1] is None else f"{t[0]}={t[1]}"
+)
+_QUERY = st.lists(_PAIR, max_size=4).map(lambda ps: "?" + "&".join(ps) if ps else "")
+_FRAG = st.sampled_from(["", "#f", "#a?b=1", "#&amp;x"])
+
+
+@given(_SCHEME, _HOST, _PORT, _PATH, _QUERY, _FRAG)
+@settings(max_examples=300, deadline=None)
+def test_batch_canonicalizer_matches_scalar_reference(sch, host, port, path, q, frag):
+    """The tier-2 vectorized kernel must agree with _canonicalize_one on
+    the whole messy-but-regular URL domain (and the residue router must
+    agree trivially, since it CALLS _canonicalize_one)."""
+    import pandas as pd
+
+    from openslack_crawler_spark.functions.url import _canonicalize_batch
+
+    url = f"{sch}://{host}{port}{path}{q}{frag}"
+    got = _canonicalize_batch(pd.Series([url], dtype="object")).iloc[0]
+    assert got == _canonicalize_one(url, None)
+
+
+@given(st.text(min_size=1, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_batch_canonicalizer_total_on_garbage(raw):
+    """No input string may crash the batch kernel (a 10^10-row frontier
+    contains garbage), and it must still match the scalar reference."""
+    import pandas as pd
+
+    from openslack_crawler_spark.functions.url import _canonicalize_batch
+
+    url = raw if "://" in raw else "http://" + raw
+    got = _canonicalize_batch(pd.Series([url], dtype="object")).iloc[0]
+    assert got == _canonicalize_one(url, None)
