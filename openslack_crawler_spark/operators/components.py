@@ -59,12 +59,53 @@ def _ckpt(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> Data
     return df.localCheckpoint(eager=eager)
 
 
+def _driver_union_find(spark, sym_rows, sym_schema) -> DataFrame:
+    """Local union-find over the collected symmetric edge list —
+    component = min node id, exactly the distributed fixed point
+    (equality asserted per-row in tests/test_reliable_checkpoint.py)."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in sym_rows:
+        a, b = r["a"], r["b"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        root = find(n)
+        if root not in comp_min or n < comp_min[root]:
+            comp_min[root] = n
+    out_schema = T.StructType(
+        [
+            T.StructField("node", sym_schema["a"].dataType),
+            T.StructField("component", sym_schema["a"].dataType),
+        ]
+    )
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    return spark.createDataFrame(rows, out_schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """edges(src, dst) undirected → (node, component) where component =
     min node id reachable. Pure DataFrame ops; O(log diameter) rounds
@@ -72,15 +113,33 @@ def connected_components(
     the pre-partitioned edge list.
     Pass checkpoint_dir on a cluster so per-round lineage cuts survive
     executor death (localCheckpoint loses blocks with the executor and
-    would force a full recompute of the iteration chain)."""
+    would force a full recompute of the iteration chain).
+
+    SIZE GATE (round 5): when the deduped symmetric edge list fits the
+    driver (≤ small_graph_edges rows ≈ 16 MB at the default), a local
+    union-find replaces the iteration loop — the per-round driver
+    actions (join + agg + lineage cut, ~0.2-0.3s each at local[32])
+    dominate tiny graphs, the same way the bloom gate's probe cost
+    dominated small candidate sets. Near-dup graphs after banding are
+    typically ≪1M edges even for large corpora; a 10^10-edge graph
+    takes the distributed loop. Pass small_graph_edges=0 to force the
+    distributed path (the unit tests of the loop do)."""
     sym = edges.selectExpr(f"{src} as a", f"{dst} as b").union(
         edges.selectExpr(f"{dst} as a", f"{src} as b")
     )
+    sym_dedup = sym.distinct()
+    if small_graph_edges > 0:
+        head = sym_dedup.limit(small_graph_edges + 1).collect()
+        if len(head) <= small_graph_edges:
+            return _driver_union_find(edges.sparkSession, head, sym_dedup.schema)
+        # over the gate: fall through (the collected prefix is discarded
+        # — at scale the limit stops the scan long before materializing
+        # the graph)
     # hash-partition the (checkpointed) edge list on the probe key ONCE:
     # the per-round join shuffles only the label side against it
     # (checkpoint preserves the partitioning; measured −40% per round
     # at sf0.1)
-    sym = _ckpt(sym.distinct().repartition(F.col("b")), checkpoint_dir)
+    sym = _ckpt(sym_dedup.repartition(F.col("b")), checkpoint_dir)
     # initial labels fused with the FIRST propagation hop: component0 =
     # min(node, 1-hop neighborhood) is one groupBy over the edge list —
     # no join — so the loop starts a full hop ahead for free (sym is

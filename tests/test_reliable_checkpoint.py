@@ -19,7 +19,8 @@ def test_components_with_reliable_checkpoint(spark, tmp_path):
     reliable = {
         (r.node, r.component)
         for r in connected_components(
-            edges, checkpoint_dir=str(tmp_path / "ckpt")
+            edges, checkpoint_dir=str(tmp_path / "ckpt"),
+            small_graph_edges=0,  # force the distributed loop under test
         ).collect()
     }
     assert reliable == base
@@ -61,7 +62,7 @@ def test_path_halving_chain_converges_logarithmically(spark):
 
     chain = spark.range(63).selectExpr("id as src", "id+1 as dst")
     # max_iter=12 >> log2(63) but << 63: only the halving path passes
-    labels = connected_components(chain, max_iter=12)
+    labels = connected_components(chain, max_iter=12, small_graph_edges=0)
     rows = labels.collect()
     assert len(rows) == 64
     assert all(r.component == 0 for r in rows)
@@ -79,4 +80,28 @@ def test_components_two_cliques_and_isolated_edge(spark):
         (1, 1), (2, 1), (3, 1),
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
+    }
+
+
+def test_small_graph_gate_equals_distributed_loop(spark):
+    """Round-5 size gate: the driver union-find fast path and the
+    distributed label-propagation loop must produce identical
+    components (including min-id labeling) on a mixed fixture."""
+    from openslack_crawler_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21), (5, 5),
+         (30, 31), (31, 32), (32, 33), (33, 34), (34, 35)],
+        "src bigint, dst bigint",
+    )
+    fast = {(r.node, r.component) for r in connected_components(edges).collect()}
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert fast == dist
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20), (5, 5),
+        (30, 30), (31, 30), (32, 30), (33, 30), (34, 30), (35, 30),
     }
