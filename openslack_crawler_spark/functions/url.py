@@ -143,8 +143,13 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
 #   '&name;' is impossible) and the 106 LEGACY no-semicolon entities
 #   ('&copy', '&para', ... fire mid-string: unescape('a&copy=1')='a©=1') are
 #   excluded by _ENTITY_GUARD_RE built from html.entities.html5 itself.
+#   and the host must contain at least one NON-DOT char: an all-dot host
+#   rstrips to '' and urlunsplit then re-emits '//' only for uses_netloc
+#   schemes — a branch the vectorized assembly cannot see (advisor r5,
+#   medium: 'foo://.../x' → scalar 'foo:/x' vs naive batch 'foo:///x').
+#   Such hosts route to the _canonicalize_one residue instead.
 _TIER2_RE = (
-    r"^[A-Za-z][A-Za-z0-9+.\-]*://[A-Za-z0-9.\-]+(:[0-9]*)?"
+    r"^[A-Za-z][A-Za-z0-9+.\-]*://\.*[A-Za-z0-9\-][A-Za-z0-9.\-]*(:[0-9]*)?"
     r"(/[A-Za-z0-9/_.~%\-]*)?"
     r"(\?([A-Za-z0-9_.~\-]+(=[A-Za-z0-9_.~\-]*)?"
     r"(&[A-Za-z0-9_.~\-]+(=[A-Za-z0-9_.~\-]*)?)*)?)?"
@@ -154,7 +159,7 @@ _TIER2_RE = (
 # capture groups for the vectorized transform (same domain as _TIER2_RE)
 _TIER2_EXTRACT_RE = (
     r"^([A-Za-z][A-Za-z0-9+.\-]*)://"      # 1 scheme
-    r"([A-Za-z0-9.\-]+)(:[0-9]*)?"          # 2 host, 3 :port
+    r"(\.*[A-Za-z0-9\-][A-Za-z0-9.\-]*)(:[0-9]*)?"  # 2 host (≥1 non-dot), 3 :port
     r"((?:/[A-Za-z0-9/_.~%\-]*)?)"          # 4 path
     r"(?:\?([A-Za-z0-9_.~\-=&]*))?"         # 5 query
     r"(?:#.*)?$"

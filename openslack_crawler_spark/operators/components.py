@@ -59,10 +59,11 @@ def _ckpt(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> Data
     return df.localCheckpoint(eager=eager)
 
 
-def _driver_union_find(spark, sym_rows, sym_schema) -> DataFrame:
-    """Local union-find over the collected symmetric edge list —
-    component = min node id, exactly the distributed fixed point
-    (equality asserted per-row in tests/test_reliable_checkpoint.py)."""
+def _driver_union_find(spark, sym_pdf, sym_schema) -> DataFrame:
+    """Local union-find over the Arrow-collected symmetric edge list
+    (pandas DataFrame with columns a, b) — component = min node id,
+    exactly the distributed fixed point (equality asserted per-row in
+    tests/test_reliable_checkpoint.py)."""
     from pyspark.sql import types as T  # noqa: PLC0415
 
     parent: dict = {}
@@ -75,8 +76,9 @@ def _driver_union_find(spark, sym_rows, sym_schema) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in sym_rows:
-        a, b = r["a"], r["b"]
+    # .tolist() converts numpy scalars → plain Python (createDataFrame
+    # below rejects numpy ints on some pyspark versions)
+    for a, b in zip(sym_pdf["a"].tolist(), sym_pdf["b"].tolist()):
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -129,7 +131,12 @@ def connected_components(
     )
     sym_dedup = sym.distinct()
     if small_graph_edges > 0:
-        head = sym_dedup.limit(small_graph_edges + 1).collect()
+        # probe via Arrow toPandas, not .collect(): the ≤(N+1)-row prefix
+        # crosses as columnar batches (~16 MB of two long columns at the
+        # default gate) instead of N+1 pickled Row objects — advisor r5:
+        # Row overhead made the old probe hundreds of MB of driver heap
+        # on over-gate graphs whose prefix is then discarded
+        head = sym_dedup.limit(small_graph_edges + 1).toPandas()
         if len(head) <= small_graph_edges:
             return _driver_union_find(edges.sparkSession, head, sym_dedup.schema)
         # over the gate: fall through (the collected prefix is discarded

@@ -42,7 +42,15 @@ NUM_HASHES = 7  # parity with bloomfilter.py:36 (7 SimpleHash seeds)
 def first_wins_dedup(cands: DataFrame, seq_col: str = "enqueue_seq") -> DataFrame:
     """Intra-batch dedup keeping the FIRST enqueued duplicate — the
     set-oriented equivalent of sequential SADD (dupefilter.py:39-44).
-    Rows with dont_filter=True bypass (scheduler.py:73)."""
+    Rows with dont_filter=True bypass (scheduler.py:73).
+
+    API contract (advisor r5): `seq_col` must be NON-NULL and UNIQUE per
+    row. min_by IGNORES NULL-seq rows, so a group whose seqs are all
+    NULL yields a kept row with NULL payload columns (the old
+    row_number window kept a real row); and a seq tie would make the
+    kept row nondeterministic. Every in-repo caller passes a generated
+    monotonically-increasing or row-unique sequence; pass nothing
+    NULLable here."""
     has_flag = "dont_filter" in cands.columns
     flagged = cands.filter(F.col("dont_filter")) if has_flag else None
     subject = cands.filter(~F.col("dont_filter")) if has_flag else cands

@@ -84,19 +84,9 @@ def _sql_kgram_hashes(k: int) -> str:
     )
 
 
-def _tokenized_barrier(spark, sf_dir):
-    """(doc_id, w) with a non-deterministic marker column that BLOCKS
-    CollapseProject from inlining the tokenizer into downstream
-    higher-order-function lambdas. Without it, `transform(w, ...)`
-    re-evaluates the full regexp tokenize PER LAMBDA ELEMENT
-    (interpreted, no subexpression elimination): winnow_fingerprints
-    measured 2.14s -> 0.32s at sf0.1 from this one line. Zero Exchange,
-    zero data copy — purely an optimizer fence."""
-    return fan_out(_t(spark, sf_dir, "documents")).select(
-        "doc_id",
-        words_col(F.col("text")).alias("w"),
-        F.monotonically_increasing_id().alias("_nocollapse"),
-    )
+# (the round-5 `_tokenized_barrier` CollapseProject fence was dead code —
+# every query here builds docs via fan_out(...).select directly; removed
+# per advisor r5, measurement note preserved in PLANS.md)
 
 
 # --- duplicated-substring spans (Lee et al. operator, distributed) -----------

@@ -196,12 +196,20 @@ def test_winnow_codegen_plan_matches_lambda_reference(spark):
     from openslack_crawler_spark.queries_substring import (
         _fps_col,
         _winnow_fps_df,
-        _tokenized_barrier,
     )
+    from openslack_crawler_spark.queries_textdedup import _t, fan_out, words_col
 
     sf = "/root/testdata/sf0.001"
     fast = _winnow_fps_df(spark, sf)
-    docs = _tokenized_barrier(spark, sf)
+    # reference path needs the CollapseProject fence (non-deterministic
+    # marker column) so the row-local lambda doesn't re-tokenize per
+    # element — test-only, lives here since advisor r5 flagged the
+    # module-level helper as dead code
+    docs = fan_out(_t(spark, sf, "documents")).select(
+        "doc_id",
+        words_col(F.col("text")).alias("w"),
+        F.monotonically_increasing_id().alias("_nocollapse"),
+    )
     _hs, fps = _fps_col()
     ref = docs.select("doc_id", F.explode(fps).alias("fp"))
 

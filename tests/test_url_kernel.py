@@ -79,6 +79,11 @@ def test_tier2_batch_kernel_matches_reference():
         "http://h.example/p?a==", "http://h.example/p??",
         "http://h.[bad]/p",               # malformed: hardened passthrough
         "http://h.example:65536/p", None,
+        # all-dot hosts rstrip to '' — urlunsplit re-emits '//' only for
+        # uses_netloc schemes, so these MUST route to the scalar residue
+        # (advisor r5, medium)
+        "foo://.../x", "foo://./x", "foo://...?b=2&a=1", "http://.../x",
+        "http://../", "bar://.", "http://.a/x", "http://a./x",
     ]
     got = _canonicalize_batch(pd.Series(cases, dtype="object"))
     for u, g in zip(cases, got):

@@ -56,7 +56,11 @@ def query_modules() -> dict[str, list[str]]:
 
 def is_green(rec: dict) -> bool:
     if rec.get("err") == "no_oracle":  # rows-only contract (crawl_e2e)
-        return bool(rec.get("rows_match") or rec.get("spark_rows", 0) >= 0)
+        # require a POSITIVE signal that the Spark run produced output:
+        # spark_rows is absent on failure, so default to -1 (advisor r5:
+        # `rec.get("spark_rows", 0) >= 0` was a tautology that recorded
+        # any no_oracle record as green)
+        return bool(rec.get("rows_match")) or rec.get("spark_rows", -1) >= 0
     return bool(
         rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
     )
