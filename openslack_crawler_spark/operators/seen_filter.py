@@ -44,33 +44,55 @@ def first_wins_dedup(cands: DataFrame, seq_col: str = "enqueue_seq") -> DataFram
     set-oriented equivalent of sequential SADD (dupefilter.py:39-44).
     Rows with dont_filter=True bypass (scheduler.py:73).
 
-    API contract (advisor r5): `seq_col` must be NON-NULL and UNIQUE per
-    row. min_by IGNORES NULL-seq rows, so a group whose seqs are all
-    NULL yields a kept row with NULL payload columns (the old
-    row_number window kept a real row); and a seq tie would make the
-    kept row nondeterministic. Every in-repo caller passes a generated
-    monotonically-increasing or row-unique sequence; pass nothing
-    NULLable here."""
+    API contract (advisor r5): `url_hash` and `seq_col` must be NON-NULL
+    and `seq_col` UNIQUE per row — a seq tie would make the kept row
+    nondeterministic, and NULL keys degenerate (r5's min_by ignored
+    NULL-seq rows; the r6 winners join drops NULL-hash rows). Every
+    in-repo caller passes generated non-null hashes and a row-unique
+    sequence.
+
+    Round-6 shape (A/B-measured at 32M rows / local[32], see
+    OPTIMIZATION_r06.md): repartition by url_hash FIRST, then run the
+    min_by groupBy complete-mode over the co-partitioned rows — ONE
+    Exchange + ONE sort + one SortAggregate, versus r5's partial/final
+    split which sorted the full batch TWICE (min_by's struct buffer is
+    not hash-aggregable, so each side of the Exchange paid its own
+    sort; the partial agg only collapsed the ~dup_frac/num_tasks slice
+    of duplicates that happened to be task-local — a bad trade).
+    Candidates measured: r5 partial/final 8.10s, window row_number
+    7.79s, THIS 7.03s, winners-join (HashAggregate + SHJ, no sorts)
+    disqualified — its second plan branch re-runs the upstream
+    canonicalizer. The dedup output stays hash-partitioned on url_hash,
+    so the downstream seen anti-join reuses the partitioning with no
+    further Exchange.
+
+    The kept branch re-attaches `dont_filter` as lit(False) — true by
+    construction for every subject row, and it lets Catalyst PRUNE the
+    downstream filter/union split that a later filter_unseen() builds
+    (with the flag buried in the agg struct, the optimizer could not
+    prove the flagged branch empty and duplicated the entire aggregate
+    subtree — two extra Exchanges of the full batch in the round-5
+    scheduling-round plan)."""
     has_flag = "dont_filter" in cands.columns
     flagged = cands.filter(F.col("dont_filter")) if has_flag else None
     subject = cands.filter(~F.col("dont_filter")) if has_flag else cands
-    # min_by over a groupBy, NOT row_number over a window: the hash
-    # aggregate gets map-side partial aggregation (duplicates collapse
-    # before the shuffle) and skips the window's per-partition sort on
-    # (url_hash, seq). Identical kept set — seq is unique per row, so
-    # min_by has no tie to break (asserted row-for-row against the
-    # window shape in tests/test_seen_filter.py). Measured at 32M rows
-    # / local[32]: 2.34s vs 3.81s warm, −1.5s on the scheduling round.
-    others = [c for c in subject.columns if c != "url_hash"]
+    part = subject.repartition(F.col("url_hash"))
+    others = [
+        c for c in subject.columns
+        if c != "url_hash" and not (has_flag and c == "dont_filter")
+    ]
+    sel = []
+    for c in subject.columns:
+        if c == "url_hash":
+            sel.append(F.col("url_hash"))
+        elif has_flag and c == "dont_filter":
+            sel.append(F.lit(False).alias("dont_filter"))
+        else:
+            sel.append(F.col(f"_r.{c}").alias(c))
     kept = (
-        subject.groupBy("url_hash")
+        part.groupBy("url_hash")
         .agg(F.min_by(F.struct(*others), F.col(seq_col)).alias("_r"))
-        .select(
-            *[
-                F.col(f"_r.{c}").alias(c) if c != "url_hash" else F.col("url_hash")
-                for c in subject.columns
-            ]
-        )
+        .select(*sel)
     )
     return kept.unionByName(flagged) if has_flag else kept
 

@@ -46,7 +46,24 @@ def get_spark(
         # would otherwise accumulate O(history) files on a long crawl
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd parquet: A/B-measured FASTER to write than snappy on the
+        # round-snapshot shape at both local[8] and local[32] (and 26%
+        # smaller — guide §6 recommends it for real outputs too):
+        # 32c write 1.78s vs 2.09s, 8c read-tail 6.0s vs 9.7s
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # let the planner pick shuffled-hash joins when its size
+        # conditions hold (guide: often faster than sort-merge when one
+        # side is moderately small per partition — the seen anti-join
+        # probe shape); the choice stays stats-gated, so a 10^10-row
+        # seen side still gets sort-merge. The AQE threshold converts
+        # SMJ→SHJ at runtime from ACTUAL per-partition map sizes.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "128m",
+        )
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # ≤31g keeps JVM compressed oops; measured 48g heaps GC-thrash
         # 3-4x on wide-row shuffles in local[32]
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
