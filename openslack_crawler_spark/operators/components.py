@@ -23,8 +23,30 @@ non-uniform edge would strictly lower the larger side next round.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def session_checkpoint_dir(spark) -> str | None:
+    """Session-wide reliable-checkpoint seam (VERDICT r5 task 6): when
+    `spark.graft.checkpointDir` (conf) or $SPARK_GRAFT_CHECKPOINT_DIR
+    (env) is set, every registered iterative/multi-consumer query
+    routes its lineage cuts through reliable checkpoint() into that dir
+    — on a real cluster localCheckpoint blocks die with an executor.
+    Unset (the sandbox default) keeps the fast in-memory path."""
+    try:
+        v = spark.conf.get("spark.graft.checkpointDir", None)
+    except Exception:
+        v = None
+    return v or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None
+
+
+def ckpt_auto(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Lineage cut honoring the session checkpoint seam (drop-in for
+    the query paths' bare .localCheckpoint() calls)."""
+    return _ckpt(df, session_checkpoint_dir(df.sparkSession), eager=eager)
 
 
 def _ckpt(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> DataFrame:
@@ -115,7 +137,8 @@ def connected_components(
     the pre-partitioned edge list.
     Pass checkpoint_dir on a cluster so per-round lineage cuts survive
     executor death (localCheckpoint loses blocks with the executor and
-    would force a full recompute of the iteration chain).
+    would force a full recompute of the iteration chain); when omitted
+    it defaults to the session seam (session_checkpoint_dir).
 
     SIZE GATE (round 5): when the deduped symmetric edge list fits the
     driver (≤ small_graph_edges rows ≈ 16 MB at the default), a local
@@ -126,6 +149,8 @@ def connected_components(
     typically ≪1M edges even for large corpora; a 10^10-edge graph
     takes the distributed loop. Pass small_graph_edges=0 to force the
     distributed path (the unit tests of the loop do)."""
+    if checkpoint_dir is None:
+        checkpoint_dir = session_checkpoint_dir(edges.sparkSession)
     sym = edges.selectExpr(f"{src} as a", f"{dst} as b").union(
         edges.selectExpr(f"{dst} as a", f"{src} as b")
     )

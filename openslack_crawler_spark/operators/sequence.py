@@ -38,12 +38,12 @@ def with_dense_seq(
     # so the counts pass and the rank pass MUST observe the same
     # materialization (a lazily-cached plan could recompute with
     # different boundaries after eviction → duplicate/missing seqs)
-    if checkpoint_dir:
-        from .components import _ckpt  # noqa: PLC0415
+    from .components import _ckpt, session_checkpoint_dir  # noqa: PLC0415
 
-        ranged = _ckpt(ranged, checkpoint_dir)
-    else:
-        ranged = ranged.localCheckpoint(eager=True)
+    ranged = _ckpt(
+        ranged,
+        checkpoint_dir or session_checkpoint_dir(df.sparkSession),
+    )
     counts = (
         ranged.groupBy("_pid").count().orderBy("_pid").collect()
     )

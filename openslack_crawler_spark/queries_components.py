@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators.components import connected_components
+from .operators.components import ckpt_auto, connected_components
 from .queries_textdedup import (
     SQL_SHINGLES,
     SQL_WORDS,
@@ -87,7 +87,7 @@ def q_corpus_clean_fuzzy(spark, sf_dir, checkpoint_dir: str | None = None):
     )
     # two consumers (pair generation + survivor stats) — materialize so
     # the gate/dedup pipeline runs once
-    cleaned = corpus_clean_docs(docs).localCheckpoint()
+    cleaned = ckpt_auto(corpus_clean_docs(docs))
     edges = minhash_band_star_edges(cleaned.select("doc_id", "w"))
     comp = connected_components(
         edges, src="doc_a", dst="doc_b", checkpoint_dir=checkpoint_dir
@@ -198,7 +198,7 @@ def q_link_rank(spark, sf_dir):
         F.pmod(F.col("user_id"), F.lit(RANK_HOSTS)).alias("src"),
         F.pmod(F.col("event_id"), F.lit(RANK_HOSTS)).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
-    edges = edges.repartition(F.col("src")).localCheckpoint()
+    edges = ckpt_auto(edges.repartition(F.col("src")))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = (
         edges.select(F.col("src").alias("host"))

@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .operators.components import ckpt_auto
 from .queries_similarity import cosine_expr
 from .queries_textdedup import h60
 
@@ -171,11 +172,10 @@ def q_ann_ivf_topk(
         w_assign = Window.partitionBy("vec_id").orderBy(
             F.col("c_sim").desc(), F.col("cell").asc()
         )
-        ranked = (
+        ranked = ckpt_auto(
             scored.withColumn("crnk", F.row_number().over(w_assign))
             .filter(F.col("crnk") <= N_PROBE)
             .select("vec_id", "embedding", "cell", "crnk")
-            .localCheckpoint()
         )
         assigned = ranked.filter(F.col("crnk") == 1).select(
             "vec_id", "embedding", "cell"

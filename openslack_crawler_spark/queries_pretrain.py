@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .operators.components import ckpt_auto
+
 from openslack_crawler_spark.queries_textdedup import (
     SQL_WORDS,
     _t,
@@ -252,9 +254,9 @@ def q_decontaminate_overlap(spark, sf_dir):
     # sf0.1 (PLANS.md round-5 "lambda collapse", rule 3). At 100 TB this
     # checkpoint is the standard materialized gram-index the probe
     # pipeline reads.
-    base = tok.select(
+    base = ckpt_auto(tok.select(
         "doc_id", "is_bench", grams.alias("grams")
-    ).localCheckpoint()
+    ))
     bench_grams = (
         base.filter("is_bench")
         .select(F.explode("grams").alias("g"))

@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .operators.components import ckpt_auto
 from .queries_textdedup import _t, fan_out, h60, words_col, SQL_WORDS
 
 SPAN_K = 8        # duplicated-substring window, in words
@@ -116,13 +117,13 @@ def q_substring_dup_spans(spark, sf_dir):
     # table (their suffix-array dup ranges) as an artifact, so the
     # checkpoint is the sf-scale stand-in for that materialization.
     # Measured at sf0.1: 2.46s -> 1.54s warm, 7.5s -> 2.7s cold.
-    wins = docs.select(
+    wins = ckpt_auto(docs.select(
         "doc_id", "w", F.explode(pos_arr).alias("pos")
     ).select(
         "doc_id",
         F.col("pos").cast("long").alias("pos"),
         h60(F.concat_ws(" ", F.slice("w", F.col("pos"), SPAN_K))).alias("h"),
-    ).localCheckpoint()
+    ))
     dup = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -311,7 +312,7 @@ def q_winnow_shared_pairs(spark, sf_dir):
     # index); the plan below consumes it three ways (df counts, probe,
     # both join sides) and would otherwise recompute the selection per
     # branch — measured 17-21s vs 6.6s at sf0.1
-    post = _winnow_fps_df(spark, sf_dir).localCheckpoint()
+    post = ckpt_auto(_winnow_fps_df(spark, sf_dir))
     rare = post.join(
         post.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .operators.components import ckpt_auto
+
 MINHASH_PERMS = 8
 LSH_BAND_SIZE = 2  # → 4 bands
 SIMHASH_BITS = 32
@@ -208,7 +210,7 @@ def minhash_band_pairs(docs):
     fuzzy-dedup stage (also composed into corpus_clean_fuzzy)."""
     # materialize once: the self-join would otherwise recompute the
     # whole shingle→minhash pipeline for BOTH sides
-    bands = minhash_band_table(docs).localCheckpoint()
+    bands = ckpt_auto(minhash_band_table(docs))
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "band_sig"
     )
@@ -704,7 +706,7 @@ def q_minhash_incremental_pairs(spark, sf_dir):
     docs = fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id", words_col(F.col("text")).alias("w")
     )
-    bands = minhash_band_table(docs).localCheckpoint()
+    bands = ckpt_auto(minhash_band_table(docs))
     is_new = F.pmod(F.col("doc_id"), F.lit(INCR_NEW_MOD)) == 0
     index = bands.filter(~is_new).select(
         F.col("doc_id").alias("indexed_doc"), "band", "band_sig"

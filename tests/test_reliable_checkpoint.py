@@ -105,3 +105,38 @@ def test_small_graph_gate_equals_distributed_loop(spark):
         (20, 20), (21, 20), (5, 5),
         (30, 30), (31, 30), (32, 30), (33, 30), (34, 30), (35, 30),
     }
+
+
+def test_session_checkpoint_seam_flips_registered_query(spark, tmp_path):
+    """VERDICT r5 task 6: one session conf routes every registered
+    iterative/multi-consumer query's lineage cuts through reliable
+    checkpoints. Drive a registered query end-to-end under the seam and
+    assert (a) identical results, (b) the durable dir was used."""
+    import os
+
+    from openslack_crawler_spark.queries_components import (
+        q_corpus_clean_fuzzy,
+        q_dedup_components,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base_fuzzy = sorted(map(tuple, q_corpus_clean_fuzzy(spark, sf).collect()))
+    base_comp = sorted(map(tuple, q_dedup_components(spark, sf).collect()))
+    ck = tmp_path / "seam_ckpt"
+    sc = spark.sparkContext
+    pre_dir = sc.getCheckpointDir()
+    spark.conf.set("spark.graft.checkpointDir", str(ck))
+    try:
+        got_fuzzy = sorted(map(tuple, q_corpus_clean_fuzzy(spark, sf).collect()))
+        got_comp = sorted(map(tuple, q_dedup_components(spark, sf).collect()))
+    finally:
+        spark.conf.unset("spark.graft.checkpointDir")
+    assert got_fuzzy == base_fuzzy
+    assert got_comp == base_comp
+    # Spark allows ONE checkpoint dir per context: when an earlier test
+    # already set it, _ckpt warns and reuses that dir — assert the seam
+    # engaged a reliable dir either way
+    post_dir = sc.getCheckpointDir()
+    assert post_dir is not None
+    if pre_dir is None:
+        assert ck.exists() and any(os.scandir(ck))

@@ -65,6 +65,30 @@ def test_new_queries_are_in_window(window):
     )
 
 
+def test_dep_closure_sees_operator_imports():
+    """VERDICT r5 task 3: the targeted dep closure must catch edits to
+    operator modules a query merely imports (the blind spot round 5
+    papered over with manual re-windowing). Pinned structurally: the
+    closure of the crawl-plan module includes the operator modules it
+    imports, transitively within operators//functions//plans, and a
+    query's closure deps are a superset of its module-level deps."""
+    closure = greenmap_tool._dep_closure(
+        "openslack_crawler_spark/plans/round_job.py"
+    )
+    assert "openslack_crawler_spark/operators/seen_filter.py" in closure
+    assert "openslack_crawler_spark/functions/url.py" in closure
+    mods = greenmap_tool.query_modules()
+    full = greenmap_tool.query_modules(closure=True)
+    for name, deps in mods.items():
+        assert set(deps) <= set(full[name]), name
+    # function-level imports are seen too (url_canonicalize imports the
+    # UDF inside the query function)
+    assert (
+        "openslack_crawler_spark/functions/url.py"
+        in full["url_canonicalize"]
+    )
+
+
 def test_greenmap_covers_only_registered_queries():
     import __spark_entry__ as entry
 
