@@ -81,11 +81,10 @@ def _ckpt(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> Data
     return df.localCheckpoint(eager=eager)
 
 
-def _driver_union_find(spark, sym_pdf, sym_schema) -> DataFrame:
-    """Local union-find over the Arrow-collected symmetric edge list
-    (pandas DataFrame with columns a, b) — component = min node id,
-    exactly the distributed fixed point (equality asserted per-row in
-    tests/test_reliable_checkpoint.py)."""
+def _driver_union_find(spark, sym_rows, sym_schema) -> DataFrame:
+    """Local union-find over the collected symmetric edge list —
+    component = min node id, exactly the distributed fixed point
+    (equality asserted per-row in tests/test_reliable_checkpoint.py)."""
     from pyspark.sql import types as T  # noqa: PLC0415
 
     parent: dict = {}
@@ -98,9 +97,8 @@ def _driver_union_find(spark, sym_pdf, sym_schema) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    # .tolist() converts numpy scalars → plain Python (createDataFrame
-    # below rejects numpy ints on some pyspark versions)
-    for a, b in zip(sym_pdf["a"].tolist(), sym_pdf["b"].tolist()):
+    for r in sym_rows:
+        a, b = r["a"], r["b"]
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -156,12 +154,17 @@ def connected_components(
     )
     sym_dedup = sym.distinct()
     if small_graph_edges > 0:
-        # probe via Arrow toPandas, not .collect(): the ≤(N+1)-row prefix
-        # crosses as columnar batches (~16 MB of two long columns at the
-        # default gate) instead of N+1 pickled Row objects — advisor r5:
-        # Row overhead made the old probe hundreds of MB of driver heap
-        # on over-gate graphs whose prefix is then discarded
-        head = sym_dedup.limit(small_graph_edges + 1).toPandas()
+        # probe via .collect(): CollectLimitExec's executeTake evaluates
+        # partitions INCREMENTALLY with no exchange. The advisor-r5
+        # Arrow alternative (limit(N+1).toPandas()) was tried round 6
+        # and MEASURED 3x SLOWER on the sf0.1 near-dup graph (4.9s vs
+        # 1.7s): toPandas plans GlobalLimit → Exchange SinglePartition
+        # and funnels the probe through one task instead of taking
+        # early. The transient Row cost on over-gate graphs (up to N+1
+        # pickled Rows, discarded) is the price of the fast common
+        # path; cap it by lowering small_graph_edges if driver memory
+        # is tight.
+        head = sym_dedup.limit(small_graph_edges + 1).collect()
         if len(head) <= small_graph_edges:
             return _driver_union_find(edges.sparkSession, head, sym_dedup.schema)
         # over the gate: fall through (the collected prefix is discarded

@@ -20,11 +20,16 @@ def test_fan_out_widens_narrow_input(spark):
     assert widened.agg(F.sum("id")).collect()[0][0] == 499500
 
 
-def test_fan_out_noop_when_already_wide(spark):
+def test_fan_out_noop_when_input_is_large(spark):
+    """Round-6 gate: fan_out decides from the optimizer's size estimate
+    (~10ms) instead of df.rdd.getNumPartitions() (a full physical
+    planning pass — measured 1.26s cold + ~50ms per text query at
+    sf0.1). The no-op contract that matters at scale — never round-
+    robin a LARGE input — is asserted via a tiny bytes_per_split so the
+    10000-row fixture counts as 'large'."""
     target = spark.sparkContext.defaultParallelism
     wide = spark.range(10000).repartition(target + 4)
-    # already wider than the target: returned as-is, no extra shuffle
-    assert fan_out(wide) is wide
+    assert fan_out(wide, bytes_per_split=1) is wide
 
 
 def test_fan_out_respects_explicit_min_parts(spark):
