@@ -55,13 +55,13 @@ def get_spark(
         # conditions hold (guide: often faster than sort-merge when one
         # side is moderately small per partition — the seen anti-join
         # probe shape); the choice stays stats-gated, so a 10^10-row
-        # seen side still gets sort-merge. The AQE threshold converts
-        # SMJ→SHJ at runtime from ACTUAL per-partition map sizes.
+        # seen side still gets sort-merge. The AQE runtime SMJ→SHJ
+        # threshold is deliberately LEFT OFF: A/B on the 200M-row
+        # bucketed seen table showed it converting the sorted-bucket
+        # merge (5.0s, zero sort) into a per-task 3.1M-row hash build
+        # (17.2s) — the bucketed layout is exactly the case where
+        # sort-merge is free.
         .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config(
-            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            "128m",
-        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # ≤31g keeps JVM compressed oops; measured 48g heaps GC-thrash
