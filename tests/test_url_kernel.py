@@ -100,3 +100,103 @@ def test_canonicalize_one_survives_malformed():
 
     assert _canonicalize_one("http://h.[x]/p", None) == "http://h.[x]/p"
     assert _canonicalize_one("http://[::1:80/p", None) == "http://[::1:80/p"
+
+
+def test_arrow_host_matches_try_parse_url(spark):
+    """Round-6 host extraction: wherever _extract_host_arrow CLAIMS a
+    host, it must equal lower(try_parse_url(url, 'HOST')) — java.net.URI
+    server-authority semantics. Abstentions (null) are fine: they pay
+    the JVM fallback at runtime. Fixtures pin every grammar rule the
+    safe-RE encodes (label hyphens, digit TLDs, IPv4 octet range, port
+    width, %-escape legality, trailing dots, userinfo/IPv6 abstain)."""
+    import pyarrow as pa
+
+    from openslack_crawler_spark.functions.url import _extract_host_arrow
+
+    cases = [
+        "http://host-1.example/p/1", "https://a.b.c/x?k=v", "http://localhost",
+        "http://a", "http://a/", "http://a-b.c-d/e", "http://h:8080/x",
+        "http://h:/x", "http://h:0/x", "http://h:65536/x",
+        "http://h:999999999/x", "http://h:99999999999999999999/x",
+        "http://1.2.3.4/x", "http://001.002.003.004/x", "http://999.1.2.3/x",
+        "http://1.2.3.4.5/x", "http://x.1.2.3.4/x", "http://foo.123/x",
+        "http://a..b/x", "http://-a.b/x", "http://a-.b/x", "http://a_b.c/x",
+        "http://example.com./x", "http://example.com../x", "http://.../x",
+        "http://u@h/x", "http://u:p@h/x", "http://[::1]/x",
+        "http://h/a%20b", "http://h/a%zzb", "http://h/a%2",
+        "http://h/p?a=1&b=2", "http://h/p?a=%20", "http://h/p?a=+b",
+        "http://h/p?a==b", "http://h/p?a&b", "http://h/p?", "http://h?x=1",
+        "http://h", "http://h/p#frag", "http://h/p;x=1", "http://h/p,q",
+        "http://h/p q", "ftp://files.example/a/b", "a+b-c.d://h/x",
+        "http://HOST.example/x", "HTTP://host/x", "http:///x", "http://",
+        "notaurl", "://h/x", "http://h.[x]/p",
+    ]
+    mine = _extract_host_arrow(pa.array(cases, type=pa.string())).to_pylist()
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    ref = {
+        r["url"]: r["h"]
+        for r in df.select(
+            "url",
+            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))).alias("h"),
+        ).collect()
+    }
+    claimed = 0
+    for u, m in zip(cases, mine):
+        if m is not None:
+            claimed += 1
+            assert m == ref[u], (u, m, ref[u])
+    # the pattern must actually fire on the common shapes, not abstain on
+    # everything (which would silently re-route every row to the JVM)
+    assert claimed >= 12
+
+
+def test_with_url_columns_matches_legacy_formula(spark):
+    """End-to-end bit-equivalence: the struct-UDF path of
+    with_url_columns must produce byte-identical (url, host, url_hash,
+    host_hash) to the round-5 formula (string UDF + host_of on every
+    row) — including rows that exercise the JVM fallback."""
+    from openslack_crawler_spark.functions.url import (
+        canonicalize_udf,
+        fixup_url,
+        host_of,
+        url_hash,
+    )
+
+    cases = [
+        "http://host-1.example/p/1", "HTTP://Host-2.Example:80/p/2?b=2&a=1#f",
+        "  http://x.example/a ", "http://u@h/x", "http://a_b.c/x",
+        "http://example.com./x", "http://1.2.3.4/x", "http://999.1.2.3/x",
+        "http://h:8080/x?a=%20&b=+c", "http://h/a%zzb", "ftp://files.example/a",
+        "http://[::1]/x", "http://[/x", "no-scheme.example/p",
+        "http://h/p;x=1", "http://foo.123/x", None,
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    new = with_url_columns(df, "url", canonicalize=True)
+    old = df.withColumn("url", fixup_url(F.col("url")))
+    old = old.withColumn("url", canonicalize_udf(F.col("url")))
+    old = (
+        old.withColumn("host", host_of(F.col("url")))
+        .withColumn("url_hash", url_hash(F.col("url")))
+        .withColumn("host_hash", F.xxhash64(F.col("host")))
+    )
+    assert new.columns == old.columns
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted(map(tuple, new.collect()), key=key) == sorted(
+        map(tuple, old.collect()), key=key
+    )
+    # one Arrow pass, no duplicated UDF evaluation (guide §4.4)
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_with_url_columns_survives_unparseable_url(spark):
+    """Spark 4 ANSI parse_url THROWS on java.net.URI rejects; the ingest
+    path must not die on garbage the canonicalizer passed through
+    (try_parse_url fallback -> NULL host)."""
+    df = spark.createDataFrame(
+        [("http://h.[x]/p q",), ("http://ok.example/p",)], ["url"]
+    )
+    rows = {r["url"]: r for r in with_url_columns(df, canonicalize=True).collect()}
+    assert rows["http://ok.example/p"]["host"] == "ok.example"
+    bad = rows["http://h.[x]/p q"]
+    assert bad["host"] is None and bad["url_hash"] is not None
