@@ -62,6 +62,16 @@ def get_spark(
         # (17.2s) — the bucketed layout is exactly the case where
         # sort-merge is free.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # shuffle codec stays lz4 (the default): zstd was A/B'd on the
+        # full scheduling round at BOTH levels across six usable paired
+        # windows (r6, twice) — local[8] indistinguishable
+        # (34.8/35.8 vs 35.3/35.4 quiet; 35.1 vs 32.4 noisy), local[32]
+        # direction-INCONSISTENT (12.6/12.6 lz4 vs 12.1/10.6 zstd in one
+        # noisy window, 11.6/11.4 lz4 vs 12.0/12.5 zstd in another) —
+        # window-to-window variance dominates any codec effect at this
+        # shuffle volume (~1-2 GB/round), so the default keeps the
+        # guide-§2.3 "measure both" verdict on record instead of a
+        # speculative flip.
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # ≤31g keeps JVM compressed oops; measured 48g heaps GC-thrash
